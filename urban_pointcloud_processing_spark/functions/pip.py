@@ -1,0 +1,126 @@
+"""Point-in-polygon join — pure Catalyst, no UDF in the hot path.
+
+The reference's PIP is a numba crossing-number kernel per polygon
+(src/upcp/utils/clip_utils.py:119-190) wrapped by poly_clip's bbox
+pre-filter (:193-238). Spark-first re-expression:
+
+1. Polygons are pre-exploded to an **edge table** (sources/layers.py),
+   each edge row carrying the polygon bbox.
+2. Probe side joins the broadcast edge table on the bbox conjunct —
+   Catalyst evaluates the range predicate before anything else, which
+   IS the reference's bbox pre-filter (clip_utils.py:219-224).
+3. The upward-ray crossing test is a plain boolean expression; crossing
+   parity per (point, polygon) via groupBy + sum — map-side partial
+   aggregation keeps the shuffle at one row per candidate pair.
+4. Odd parity = inside (even-odd rule → interior rings/holes handled
+   for free, matching clip_utils.py:227-236 exterior-minus-holes).
+
+Everything stays inside whole-stage codegen; at 10^12 rows the only
+shuffle is the pair-level partial agg, and the build side (layer edges)
+is broadcast. Optional boundary_inclusive adds the reference's
+on-edge-counts-as-inside rule (clip_utils.py:150-159).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _crossing(px: Column, py: Column) -> Column:
+    y1, y2 = F.col("y1"), F.col("y2")
+    x1, x2 = F.col("x1"), F.col("x2")
+    straddles = (y1 > py) != (y2 > py)
+    # strict '<': upward ray from the point; horizontal edges are
+    # filtered out by the straddles test (y1 != y2 whenever it's true).
+    intersects_right = px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+    return straddles & intersects_right
+
+
+def _on_edge(px: Column, py: Column) -> Column:
+    y1, y2 = F.col("y1"), F.col("y2")
+    x1, x2 = F.col("x1"), F.col("x2")
+    colinear = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) == F.lit(0.0)
+    in_seg = (px >= F.least(x1, x2)) & (px <= F.greatest(x1, x2)) & \
+             (py >= F.least(y1, y2)) & (py <= F.greatest(y1, y2))
+    return colinear & in_seg
+
+
+def pip_hits(points: DataFrame, edges: DataFrame,
+             point_id: str = "page_id", x: str = "x", y: str = "y",
+             boundary_inclusive: bool = False,
+             keep_cols: tuple[str, ...] = ("layer", "bgt_type")) -> DataFrame:
+    """(point × polygon) pairs where the point lies inside the polygon.
+
+    ``edges`` schema: sources/layers.EDGE_COLS. Returns one row per
+    containing pair with ``point_id``, ``polygon_id`` and ``keep_cols``.
+    """
+    px, py = F.col(x), F.col(y)
+    bbox = (px >= F.col("px_min")) & (px <= F.col("px_max")) & \
+           (py >= F.col("py_min")) & (py <= F.col("py_max"))
+    pair_cols = [point_id, "polygon_id", *keep_cols]
+    aggs = [F.sum(_crossing(px, py).cast("int")).alias("crossings")]
+    if boundary_inclusive:
+        aggs.append(F.max(_on_edge(px, py).cast("int")).alias("on_edge"))
+    grouped = (
+        points.join(F.broadcast(edges), bbox)
+        .groupBy(*pair_cols)
+        .agg(*aggs)
+    )
+    inside = grouped["crossings"] % 2 == 1
+    if boundary_inclusive:
+        inside = inside | (grouped["on_edge"] == 1)
+    return grouped.filter(inside).select(*pair_cols)
+
+
+def pip_semi(points: DataFrame, edges: DataFrame,
+             point_id: str = "page_id", **kw) -> DataFrame:
+    """Points inside ANY polygon of the layer (reference OR-accumulated
+    mask, src/upcp/fusion/building_fuser.py:83-87)."""
+    hits = pip_hits(points, edges, point_id=point_id, **kw).select(point_id).distinct()
+    return points.join(hits, point_id, "left_semi")
+
+
+def pip_anti(points: DataFrame, edges: DataFrame,
+             point_id: str = "page_id", **kw) -> DataFrame:
+    """Points inside NO polygon (reference BAG removal anti-join,
+    src/upcp/fusion/cable_fuser.py:126-129)."""
+    hits = pip_hits(points, edges, point_id=point_id, **kw).select(point_id).distinct()
+    return points.join(hits, point_id, "left_anti")
+
+
+def pip_flag(points: DataFrame, edges: DataFrame, flag: str,
+             point_id: str = "page_id", **kw) -> DataFrame:
+    """Append a boolean ``flag`` column = inside-any-polygon. Used by
+    fuser stages that AND the PIP result with other predicates."""
+    hits = (
+        pip_hits(points, edges, point_id=point_id, **kw)
+        .select(point_id).distinct().withColumn(flag, F.lit(True))
+    )
+    return points.join(F.broadcast(hits), point_id, "left").fillna({flag: False})
+
+
+# --- DuckDB oracle SQL -------------------------------------------------
+
+def pip_hits_sql(pts_cte: str, edges_values: str,
+                 point_id: str = "page_id",
+                 type_filter: str | None = None) -> str:
+    """Oracle for pip_hits: same ray-cast, same even-odd rule."""
+    where = f"WHERE {type_filter} " if type_filter else ""
+    return f"""
+WITH pts AS ({pts_cte}),
+cand AS (
+  SELECT p.{point_id}, e.polygon_id, e.layer, e.bgt_type,
+         SUM(CASE WHEN ((e.y1 > p.y) != (e.y2 > p.y))
+                   AND (p.x < (e.x2 - e.x1) * (p.y - e.y1) / (e.y2 - e.y1) + e.x1)
+              THEN 1 ELSE 0 END) AS crossings
+  FROM pts p
+  JOIN {edges_values}
+    ON p.x >= e.px_min AND p.x <= e.px_max
+   AND p.y >= e.py_min AND p.y <= e.py_max
+  {where}
+  GROUP BY 1, 2, 3, 4
+)
+SELECT {point_id}, polygon_id, layer, bgt_type
+FROM cand WHERE crossings % 2 = 1
+"""
