@@ -1,0 +1,246 @@
+"""Text-analysis function library for the documents table.
+
+Large-scale training-data pipelines need language-ID, quality scoring,
+token counting and document fingerprinting as first-class columnar
+operators (SURVEY.md §2 extension; the reference has no text surface —
+its analog is the scalar-function library of src/upcp/utils/math_utils.py,
+re-expressed here over `documents(doc_id, text, lang, source, n_chars)`).
+
+Every function comes in two deterministic, cross-engine-identical
+flavours:
+- ``*_expr``: a PySpark Column (pure JVM higher-order functions —
+  whole-stage-codegen'd, no Python UDF in the hot path), and
+- ``*_sql``: the equivalent DuckDB SQL fragment for the oracle.
+
+The shared primitive is ``str_hash``: a char-fold polynomial hash
+``acc = (acc*31 + codepoint) mod 1e9+7``. Both engines fold strictly
+left-to-right, so results are bit-identical (validated empirically);
+the empty string is pinned to 0 on both sides (engines disagree on
+``ord('')``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH_MOD = 1_000_000_007
+
+# Fixed stopword vocabularies for the n-gram language-ID heuristic and
+# the EN quality score. Deterministic, embedded in both engines' plans.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+    "nl": ("de", "het", "een", "en", "van", "is"),
+}
+EN_STOPWORDS = LANG_MARKERS["en"]
+
+
+# ----------------------------------------------------------------------
+# str_hash — the cross-engine polynomial hash
+# ----------------------------------------------------------------------
+
+def str_hash_expr(col: Column) -> Column:
+    folded = F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + F.ascii(c)) % F.lit(HASH_MOD),
+    )
+    return F.when(F.length(col) == 0, F.lit(0).cast("long")).otherwise(folded)
+
+
+def str_hash_sql(expr: str) -> str:
+    return (
+        f"CASE WHEN length({expr}) = 0 THEN 0 ELSE list_reduce("
+        f"list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ord(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * 31 + c) % {HASH_MOD}) END"
+    )
+
+
+# ----------------------------------------------------------------------
+# Tokenization (whitespace) — the shared token stream
+# ----------------------------------------------------------------------
+
+def tokens_expr(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def tokens_sql(expr: str) -> str:
+    return rf"string_split_regex(trim({expr}), '\s+')"
+
+
+def token_count_expr(col: Column) -> Column:
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(tokens_expr(col))
+    ).cast("long")
+
+
+def token_count_sql(expr: str) -> str:
+    return (
+        f"CAST(CASE WHEN length(trim({expr})) = 0 THEN 0 "
+        f"ELSE len({tokens_sql(expr)}) END AS BIGINT)"
+    )
+
+
+# ----------------------------------------------------------------------
+# Language ID — stopword-marker scoring with deterministic tie-break
+# ----------------------------------------------------------------------
+
+def _in_list_sql(var: str, words: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in words)
+    return f"{var} IN ({quoted})"
+
+
+def _isin_pred(words: tuple[str, ...]):
+    # closure factory: a default-arg lambda would change the visible
+    # arity and make PySpark pass the element index into the default
+    def pred(t: Column) -> Column:
+        return t.isin(*list(words))
+
+    return pred
+
+
+def lang_scores_expr(col: Column) -> dict[str, Column]:
+    toks = tokens_expr(col)
+    return {
+        lang: F.size(F.filter(toks, _isin_pred(words))).cast("long")
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_scores_sql(expr: str) -> dict[str, str]:
+    toks = tokens_sql(expr)
+    return {
+        lang: (
+            f"CAST(len(list_filter({toks}, t -> {_in_list_sql('t', words)})) AS BIGINT)"
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def pred_lang_expr(col: Column) -> Column:
+    """argmax over LANG_MARKERS scores; ties broken by dict order
+    (en > de > fr > nl), 'und' (undetermined) when all scores are 0."""
+    scores = lang_scores_expr(col)
+    best = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    for lang in reversed(list(LANG_MARKERS)):
+        s = scores[lang]
+        best = F.when(s >= best_score, F.lit(lang)).otherwise(best)
+        best_score = F.when(s >= best_score, s).otherwise(best_score)
+        # reversed iteration + ">=" makes earlier dict entries win ties
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def pred_lang_sql(expr: str) -> str:
+    scores = lang_scores_sql(expr)
+    best, best_score = "'und'", "CAST(0 AS BIGINT)"
+    for lang in reversed(list(LANG_MARKERS)):
+        s = scores[lang]
+        best = f"CASE WHEN {s} >= {best_score} THEN '{lang}' ELSE {best} END"
+        best_score = f"CASE WHEN ({s}) >= ({best_score}) THEN ({s}) ELSE ({best_score}) END"
+    return f"CASE WHEN ({best_score}) > 0 THEN ({best}) ELSE 'und' END"
+
+
+# ----------------------------------------------------------------------
+# Quality scoring — length / stopword-ratio / mean-token-length
+# ----------------------------------------------------------------------
+
+def quality_cols_expr(col: Column) -> dict[str, Column]:
+    toks = tokens_expr(col)
+    n_tok = token_count_expr(col)
+    stop = F.size(F.filter(toks, _isin_pred(EN_STOPWORDS))).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    stop_ratio = F.when(n_tok > 0, stop.cast("double") / n_tok.cast("double")).otherwise(F.lit(0.0))
+    mean_tok = F.when(n_tok > 0, sum_len.cast("double") / n_tok.cast("double")).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + F.lit(0.3) * (F.lit(1.0) - F.least(stop_ratio * F.lit(2.0), F.lit(1.0)))
+        + F.lit(0.3) * F.least(mean_tok / F.lit(8.0), F.lit(1.0))
+    )
+
+    # floor(x*1e6) instead of round(x, 6): engines disagree on half-way
+    # rounding, but the underlying doubles are bit-identical (integer
+    # inputs, same IEEE op order), so the floor is too.
+    def _e6(c: Column) -> Column:
+        return F.floor(c * F.lit(1000000.0)).cast("long")
+
+    return {
+        "n_tokens": n_tok,
+        "n_stopwords": stop,
+        "stop_ratio_e6": _e6(stop_ratio),
+        "mean_token_len_e6": _e6(mean_tok),
+        "quality_e6": _e6(score),
+    }
+
+
+def quality_cols_sql(expr: str) -> dict[str, str]:
+    toks = tokens_sql(expr)
+    n_tok = token_count_sql(expr)
+    stop = (
+        f"CAST(len(list_filter({toks}, t -> {_in_list_sql('t', EN_STOPWORDS)})) AS BIGINT)"
+    )
+    sum_len = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({toks}, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b)"
+    )
+    stop_ratio = (
+        f"CASE WHEN ({n_tok}) > 0 THEN CAST({stop} AS DOUBLE) / CAST({n_tok} AS DOUBLE) "
+        f"ELSE 0.0 END"
+    )
+    mean_tok = (
+        f"CASE WHEN ({n_tok}) > 0 THEN CAST({sum_len} AS DOUBLE) / CAST({n_tok} AS DOUBLE) "
+        f"ELSE 0.0 END"
+    )
+    score = (
+        f"(least(CAST({n_tok} AS DOUBLE) / 100.0, 1.0) * 0.4 "
+        f"+ 0.3 * (1.0 - least(({stop_ratio}) * 2.0, 1.0)) "
+        f"+ 0.3 * least(({mean_tok}) / 8.0, 1.0))"
+    )
+
+    def _e6(e: str) -> str:
+        return f"CAST(floor(({e}) * 1000000.0) AS BIGINT)"
+
+    return {
+        "n_tokens": n_tok,
+        "n_stopwords": stop,
+        "stop_ratio_e6": _e6(stop_ratio),
+        "mean_token_len_e6": _e6(mean_tok),
+        "quality_e6": _e6(score),
+    }
+
+
+# ----------------------------------------------------------------------
+# Shingles (word n-grams) — the dedup unit
+# ----------------------------------------------------------------------
+
+def shingles_expr(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined)."""
+    toks = tokens_expr(col)
+    idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.get(toks, i + F.lit(j)) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles_from_tokens_sql(tok_col: str, n: int = 3) -> str:
+    """Shingle list from an ALREADY-MATERIALIZED token-list column
+    (DuckDB lambdas may reference outer columns but not subqueries, so
+    the oracle SQL first binds tokens in a CTE, then calls this)."""
+    parts = " || ' ' || ".join(f"{tok_col}[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({tok_col}) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len({tok_col}) - {n} + 2), "
+        f"i -> {parts})) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )

@@ -1,0 +1,373 @@
+"""Deduplication operators over the documents table.
+
+Training-data-pipeline extension of SURVEY.md §2: exact dedup,
+word-n-gram Jaccard, MinHash+LSH, and SimHash near-dup detection —
+each implemented Spark-first (explode→equi-join→groupBy; no Python in
+the hot path) and each with a DuckDB oracle SQL builder that replicates
+the SAME deterministic algorithm, so results match row-for-row.
+
+Scale notes (100 TB design point):
+- Exact dedup groups on a 256-bit content hash, never on the raw text,
+  so the shuffle carries 32 bytes + ids per row.
+- MinHash/LSH turns the quadratic all-pairs problem into an equi-join
+  on (band, band_key) — the classic shingle→minhash→band→bucket-join.
+  Bucket skew (boilerplate shingles) is bounded because band keys fold
+  K/BANDS independent min-hashes.
+- SimHash candidate generation uses the pigeonhole block trick:
+  hamming(a,b) ≤ d over BITS bits ⇒ a,b agree on ≥1 of (d+1) blocks,
+  so candidates come from (d+1) equi-joins on block values — EXACT
+  (no recall loss), never a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import (
+    HASH_MOD,
+    shingles_expr,
+    shingles_from_tokens_sql,
+    str_hash_expr,
+    str_hash_sql,
+    tokens_expr,
+    tokens_sql,
+)
+
+# Deterministic hash-family constants, shared verbatim by the Spark
+# plan and the generated oracle SQL (kept < HASH_MOD so a*x fits i64).
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = MINHASH_K // LSH_BANDS
+SIMHASH_BITS = 16
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_BLOCKS = SIMHASH_MAX_HAMMING + 1
+
+
+def _const(i: int, salt: int) -> int:
+    v = (2654435761 * (i + 1) + 40503 * salt) % HASH_MOD
+    return v or 1
+
+
+MH_A = [_const(k, 1) for k in range(MINHASH_K)]
+MH_B = [_const(k, 2) for k in range(MINHASH_K)]
+SH_A = [_const(b, 3) for b in range(SIMHASH_BITS)]
+SH_B = [_const(b, 4) for b in range(SIMHASH_BITS)]
+
+
+# ----------------------------------------------------------------------
+# Exact dedup — hash-groupBy (content hash, not raw text, on the wire)
+# ----------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """One row per distinct text: canonical (min) doc_id + group size."""
+    return (
+        docs.select("doc_id", F.sha2(F.col("text"), 256).alias("_h"))
+        .groupBy("_h")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_docs"),
+        )
+        .select("canonical_id", "n_docs")
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+FROM documents GROUP BY text
+"""
+
+
+# ----------------------------------------------------------------------
+# Shingle table — shared by Jaccard + MinHash
+# ----------------------------------------------------------------------
+
+def shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sid) — distinct word-n-gram shingles, hashed."""
+    return (
+        docs.select(
+            "doc_id", F.explode(shingles_expr(F.col("text"), n)).alias("sh")
+        )
+        .withColumn("sid", str_hash_expr(F.col("sh")))
+        .select("doc_id", "sid")
+    )
+
+
+def shingle_cte_sql(n: int = 3) -> str:
+    """CTE body producing (doc_id, sid) from `documents`."""
+    return f"""
+toks AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest({shingles_from_tokens_sql('t', n)}) AS sh FROM toks
+),
+shingles AS (SELECT doc_id, {str_hash_sql('sh')} AS sid FROM sh)
+"""
+
+
+# ----------------------------------------------------------------------
+# n-gram Jaccard all-pairs (shingle equi-join, no cross join)
+# ----------------------------------------------------------------------
+
+def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+    sh = shingle_table(docs, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "sid")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def jaccard_pairs_sql(n: int = 3, threshold: float = 0.5) -> str:
+    return f"""
+WITH {shingle_cte_sql(n)},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.sid = b.sid AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= {threshold}
+"""
+
+
+# ----------------------------------------------------------------------
+# MinHash signatures + LSH band join + Jaccard verification
+# ----------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, mh0..mh{K-1}) — K min-hashes over the shingle set."""
+    sh = shingle_table(docs, n)
+    aggs = [
+        F.min((F.col("sid") * F.lit(MH_A[k]) + F.lit(MH_B[k])) % F.lit(HASH_MOD)).alias(
+            f"mh{k}"
+        )
+        for k in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _band_key_expr(band: int):
+    acc = F.lit(0).cast("long")
+    for r in range(LSH_ROWS):
+        acc = (acc * F.lit(31) + F.col(f"mh{band * LSH_ROWS + r}")) % F.lit(HASH_MOD)
+    return acc
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing ≥1 LSH band bucket."""
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), _band_key_expr(b).alias("key")
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """LSH candidates verified with exact Jaccard ≥ threshold."""
+    sh = shingle_table(docs, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sig = minhash_signatures(docs, n)
+    cand = lsh_candidate_pairs(sig)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sid")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sid")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "sid"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_sql(n: int = 3, threshold: float = 0.5) -> str:
+    mh_cols = ", ".join(
+        f"MIN((sid * {MH_A[k]} + {MH_B[k]}) % {HASH_MOD}) AS mh{k}"
+        for k in range(MINHASH_K)
+    )
+    band_rows = []
+    for b in range(LSH_BANDS):
+        key = "CAST(0 AS BIGINT)"
+        for r in range(LSH_ROWS):
+            key = f"(({key}) * 31 + mh{b * LSH_ROWS + r}) % {HASH_MOD}"
+        band_rows.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sig")
+    bands = " UNION ALL ".join(band_rows)
+    return f"""
+WITH {shingle_cte_sql(n)},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+sig AS (SELECT doc_id, {mh_cols} FROM shingles GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND b.sid = a.sid
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= {threshold}
+"""
+
+
+# ----------------------------------------------------------------------
+# SimHash + pigeonhole-block near-dup join
+# ----------------------------------------------------------------------
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 16-bit token-multiplicity simhash."""
+    toks = docs.select(
+        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("tok")
+    ).withColumn("th", str_hash_expr(F.col("tok")))
+    aggs = [
+        F.sum(
+            F.when(
+                ((F.col("th") * F.lit(SH_A[b]) + F.lit(SH_B[b])) % F.lit(HASH_MOD))
+                % F.lit(2)
+                == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    grouped = toks.groupBy("doc_id").agg(*aggs)
+    sh = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        sh = sh + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return grouped.select("doc_id", sh.alias("simhash"))
+
+
+def simhash_sql() -> str:
+    s_cols = ", ".join(
+        f"SUM(CASE WHEN ((th * {SH_A[b]} + {SH_B[b]}) % {HASH_MOD}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS tok FROM documents
+),
+th AS (SELECT doc_id, {str_hash_sql('tok')} AS th FROM toks),
+sums AS (SELECT doc_id, {s_cols} FROM th GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM sums
+"""
+
+
+def simhash_neardup(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """(doc_a, doc_b, hamming ≤ max_hamming) — pigeonhole block join:
+    hamming ≤ d ⇒ equal on ≥1 of d+1 4-bit blocks, so candidates are
+    (d+1) equi-joins, exact recall, no cross join."""
+    sh = simhash(docs)
+    block_w = SIMHASH_BITS // SIMHASH_BLOCKS
+    blocks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * block_w)
+                        .bitwiseAND(F.lit((1 << block_w) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(SIMHASH_BLOCKS)
+                ]
+            )
+        ).alias("bv"),
+    ).select(
+        "doc_id", "simhash",
+        F.col("bv.blk").alias("blk"), F.col("bv.val").alias("val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+    )
+
+
+def simhash_neardup_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
+    base = simhash_sql().strip()
+    return f"""
+WITH sh AS ({base})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""

@@ -1,0 +1,302 @@
+"""Similarity search over the embeddings table (array<float>, dim 64).
+
+Training-data-pipeline extension of SURVEY.md §2 (the reference's
+closest analog is its kNN machinery, src/upcp/utils/interpolation.py:
+119-308 — re-expressed here in embedding space):
+
+- brute-force cosine top-k (the exactness baseline),
+- cosine near-dup pairs (threshold join),
+- hyperplane-LSH-bucketed ANN (the 100 TB scale path: candidates come
+  from band equi-joins on a 16-bit signature instead of a cross join).
+
+All dot products fold strictly left-to-right in index order on both
+engines (Spark ``aggregate(zip_with(...))`` vs DuckDB
+``list_reduce(list_transform(...))``), and every input is cast to
+double first — so cosines are bit-identical and the oracle can compare
+values, not just row counts. The LSH variant is deterministic (fixed
+integer hyperplanes), so its result set is oracle-reproducible too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import HASH_MOD
+
+HP_BITS = 16
+HP_BANDS = 4
+HP_ROWS = HP_BITS // HP_BANDS
+# Integer hyperplane weights w(b,i) = ((A_b*(i+1) + B_b) % 1009) - 504:
+# small ints, so w * float32-value products are exact in double.
+HP_A = [(2654435761 * (b + 1) + 40503 * 5) % HASH_MOD or 1 for b in range(HP_BITS)]
+HP_B = [(2654435761 * (b + 1) + 40503 * 6) % HASH_MOD or 1 for b in range(HP_BITS)]
+HP_MOD = 1009
+HP_SHIFT = HP_MOD // 2
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({a}, (x, i) -> CAST(x AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def norm_sql(a: str) -> str:
+    return f"sqrt({dot_sql(a, a)})"
+
+
+def _with_norm(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id", "embedding", norm_expr(F.col("embedding")).alias("_norm")
+    )
+
+
+def _cosine(pref_a: str, pref_b: str) -> Column:
+    return F.round(
+        dot_expr(F.col(f"{pref_a}.embedding"), F.col(f"{pref_b}.embedding"))
+        / (F.col(f"{pref_a}._norm") * F.col(f"{pref_b}._norm")),
+        9,
+    )
+
+
+def cosine_topk(
+    emb: DataFrame, k: int = 10, query_mod: int = 50
+) -> DataFrame:
+    """Brute-force exact top-k by cosine for query vectors
+    (vec_id % query_mod == 0). Query side is tiny → broadcast; the full
+    table is scanned once. Deterministic (cosine desc, vec_id) order."""
+    base = _with_norm(emb)
+    queries = base.filter(F.col("vec_id") % query_mod == 0)
+    pairs = (
+        F.broadcast(
+            queries.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_emb"),
+                F.col("_norm").alias("q_norm"),
+            )
+        )
+        .join(base, F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_expr(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_norm") * F.col("_norm")),
+                9,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def cosine_topk_sql(k: int = 10, query_mod: int = 50) -> str:
+    dot = dot_sql("q.embedding", "e.embedding")
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         round({dot} / (q.nrm * e.nrm), 9) AS cosine
+  FROM base q JOIN base e ON e.vec_id != q.vec_id
+  WHERE q.vec_id % {query_mod} = 0
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM pairs
+) WHERE rank <= {k}
+"""
+
+
+def cosine_neardup(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """All (a < b) pairs with cosine ≥ threshold. Exact; at 100 TB this
+    runs per-LSH-bucket — see ann_lsh_topk for the bucketed path."""
+    base = _with_norm(emb)
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cosine", _cosine("a", "b"))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cosine",
+        )
+    )
+
+
+def cosine_neardup_sql(threshold: float = 0.9) -> str:
+    dot = dot_sql("a.embedding", "b.embedding")
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({dot} / (a.nrm * b.nrm), 9) AS cosine
+FROM base a JOIN base b ON a.vec_id < b.vec_id
+WHERE round({dot} / (a.nrm * b.nrm), 9) >= {threshold}
+"""
+
+
+# ----------------------------------------------------------------------
+# Hyperplane LSH — the ANN scale path
+# ----------------------------------------------------------------------
+
+def _hp_weight_spark(b: int, i: Column) -> Column:
+    # i is the 0-based element index; weights use (i+1) so the SQL side
+    # (1-based list index) computes the identical value. All-long math:
+    # HP_A ~ 1e9 would overflow int32 under ANSI mode.
+    a = F.lit(HP_A[b]).cast("long")
+    c = F.lit(HP_B[b]).cast("long")
+    return ((a * (i.cast("long") + F.lit(1).cast("long")) + c) % F.lit(HP_MOD).cast("long")
+            - F.lit(HP_SHIFT).cast("long")).cast("double")
+
+
+def hp_signature_expr(emb: Column) -> Column:
+    """16-bit hyperplane sign signature as a long."""
+    def _proj_term(b: int):
+        def term(x: Column, i: Column) -> Column:
+            return x.cast("double") * _hp_weight_spark(b, i)
+
+        return term
+
+    sig = F.lit(0).cast("long")
+    for b in range(HP_BITS):
+        proj = F.aggregate(
+            F.zip_with(
+                emb,
+                F.sequence(F.lit(0), F.size(emb) - F.lit(1)),
+                _proj_term(b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return sig
+
+
+def hp_signature_sql(emb: str) -> str:
+    parts = []
+    for b in range(HP_BITS):
+        w = f"CAST((({HP_A[b]} * i + {HP_B[b]}) % {HP_MOD}) - {HP_SHIFT} AS DOUBLE)"
+        proj = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform({emb}, (x, i) -> CAST(x AS DOUBLE) * {w})), "
+            f"(acc, v) -> acc + v)"
+        )
+        parts.append(f"CASE WHEN {proj} > 0 THEN {1 << b} ELSE 0 END")
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+def ann_lsh_topk(
+    emb: DataFrame, k: int = 10, query_mod: int = 50
+) -> DataFrame:
+    """LSH-bucketed ANN top-k: candidates share ≥1 of 4 signature bands
+    (equi-join on (band, value) — at 100 TB the probe never cross-joins
+    the corpus). Deterministic hyperplanes → oracle-reproducible."""
+    base = _with_norm(emb).withColumn(
+        "sig", hp_signature_expr(F.col("embedding"))
+    )
+    band_w = HP_BITS // HP_BANDS
+    bands = base.select(
+        "vec_id", "embedding", "_norm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("sig"), i * band_w)
+                        .bitwiseAND(F.lit((1 << band_w) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(HP_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select(
+        "vec_id", "embedding", "_norm",
+        F.col("bv.band").alias("band"), F.col("bv.val").alias("val"),
+    )
+    queries = bands.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
+        "band", "val",
+    )
+    cand = (
+        F.broadcast(queries)
+        .join(bands, ["band", "val"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_emb", "q_norm", "vec_id", "embedding", "_norm")
+        .distinct()
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_expr(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_norm") * F.col("_norm")),
+                9,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def ann_lsh_topk_sql(k: int = 10, query_mod: int = 50) -> str:
+    band_w = HP_BITS // HP_BANDS
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {i} AS band, "
+        f"(sig >> {i * band_w}) & {(1 << band_w) - 1} AS val FROM sigs"
+        for i in range(HP_BANDS)
+    )
+    dot = dot_sql("q.embedding", "e.embedding")
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm FROM embeddings
+),
+sigs AS (
+  SELECT vec_id, {hp_signature_sql('embedding')} AS sig FROM base
+),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, eb.vec_id AS vec_id
+  FROM bands qb JOIN bands eb
+    ON qb.band = eb.band AND qb.val = eb.val AND eb.vec_id != qb.vec_id
+  WHERE qb.vec_id % {query_mod} = 0
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         round({dot} / (q.nrm * e.nrm), 9) AS cosine
+  FROM cand c
+  JOIN base q ON q.vec_id = c.query_id
+  JOIN base e ON e.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

@@ -446,6 +446,164 @@ def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("component").agg(F.count("*").alias("n_points"))
 
 
+# ----------------------------------------------------------------------
+# Training-data pipeline: text analysis over `documents`
+# (SURVEY.md §2 extension — lang-ID, quality, tokens, fingerprints)
+# ----------------------------------------------------------------------
+
+from .functions import text as T  # noqa: E402
+from .operators import dedup as D  # noqa: E402
+from .operators import multimodal as M  # noqa: E402
+from .operators import similarity as S  # noqa: E402
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+_QC_SQL = T.quality_cols_sql("text")
+
+
+@register(
+    "text_stats",
+    f"""
+SELECT doc_id,
+       {_QC_SQL['n_tokens']} AS n_tokens,
+       {_QC_SQL['n_stopwords']} AS n_stopwords,
+       {_QC_SQL['stop_ratio_e6']} AS stop_ratio_e6,
+       {_QC_SQL['mean_token_len_e6']} AS mean_token_len_e6,
+       {_QC_SQL['quality_e6']} AS quality_e6
+FROM documents
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring — pure JVM higher-order
+    functions, single scan, no shuffle."""
+    cols = T.quality_cols_expr(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
+    )
+
+
+@register(
+    "lang_id",
+    f"SELECT doc_id, {T.pred_lang_sql('text')} AS pred_lang FROM documents",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via stopword-marker scoring (n-gram heuristic),
+    deterministic tie-break."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", T.pred_lang_expr(F.col("text")).alias("pred_lang")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+WITH {D.shingle_cte_sql(3)},
+mins AS (SELECT doc_id, MIN(sid) AS min_shingle FROM shingles GROUP BY doc_id)
+SELECT d.doc_id, {T.str_hash_sql('d.text')} AS fingerprint, m.min_shingle
+FROM documents d JOIN mins m ON m.doc_id = d.doc_id
+""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-text rolling hash + min shingle
+    hash (winnowing-style representative)."""
+    docs = _docs(spark, sf_dir)
+    mins = (
+        D.shingle_table(docs, 3)
+        .groupBy("doc_id")
+        .agg(F.min("sid").alias("min_shingle"))
+    )
+    fp = docs.select(
+        "doc_id", T.str_hash_expr(F.col("text")).alias("fingerprint")
+    )
+    return fp.join(mins, "doc_id")
+
+
+# ----------------------------------------------------------------------
+# Training-data pipeline: deduplication over `documents`
+# ----------------------------------------------------------------------
+
+
+@register("exact_dedup", D.EXACT_DEDUP_SQL)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via 256-bit content-hash groupBy (the shuffle carries
+    32-byte hashes, not document bodies)."""
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+@register("ngram_jaccard", D.jaccard_pairs_sql(3, 0.5))
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs (shingle equi-join, never a
+    cross join)."""
+    return D.jaccard_pairs(_docs(spark, sf_dir), 3, 0.5)
+
+
+@register("minhash_lsh", D.minhash_lsh_sql(3, 0.5))
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4×4) candidates verified with exact Jaccard —
+    the shingle→minhash→band→bucket-join scale path."""
+    return D.minhash_lsh_dedup(_docs(spark, sf_dir), 3, 0.5)
+
+
+@register("simhash", D.simhash_sql())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (token-multiplicity weighted)."""
+    return D.simhash(_docs(spark, sf_dir))
+
+
+@register("simhash_neardup", D.simhash_neardup_sql())
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming ≤ 3 SimHash pairs via the pigeonhole 4-block equi-join
+    (exact recall; the oracle brute-forces the same answer)."""
+    return D.simhash_neardup(_docs(spark, sf_dir))
+
+
+# ----------------------------------------------------------------------
+# Training-data pipeline: similarity search over `embeddings`
+# ----------------------------------------------------------------------
+
+
+@register("cosine_topk", S.cosine_topk_sql(10, 50))
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 per query vector (vec_id%50==0);
+    ordered fold → bit-identical cosines across engines."""
+    return S.cosine_topk(_embs(spark, sf_dir), 10, 50)
+
+
+@register("cosine_neardup", S.cosine_neardup_sql(0.35))
+def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at cosine ≥ 0.35 (the synthetic
+    embeddings are near-random — max pairwise cosine ≈ 0.48 — so 0.35
+    exercises the threshold join with a non-trivial result set)."""
+    return S.cosine_neardup(_embs(spark, sf_dir), 0.35)
+
+
+@register("ann_lsh_topk", S.ann_lsh_topk_sql(10, 50))
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-10 — candidates from signature-band
+    equi-joins (the 100 TB path); deterministic planes keep it
+    oracle-reproducible."""
+    return S.ann_lsh_topk(_embs(spark, sf_dir), 10, 50)
+
+
+# ----------------------------------------------------------------------
+# Training-data pipeline: multimodal binary plumbing
+# ----------------------------------------------------------------------
+
+
+@register("media_features", M.media_features_sql(24))
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary
+    payloads (decode stubbed; byte-level features are real)."""
+    return M.media_features(M.synth_media(_docs(spark, sf_dir)), 24)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
