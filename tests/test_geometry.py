@@ -1,0 +1,75 @@
+"""MBR / hull grouped-map geometry vs independent NumPy oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from urban_pointcloud_processing_spark.operators.geometry import (
+    _convex_hull,
+    _mbr,
+    cluster_mbr,
+)
+
+
+def brute_mbr_area(xy: np.ndarray) -> float:
+    """Oracle: rectangle area minimized over a fine angle sweep."""
+    best = np.inf
+    for ang in np.linspace(0, np.pi / 2, 5000, endpoint=False):
+        rot = np.array([[np.cos(ang), np.sin(ang)], [-np.sin(ang), np.cos(ang)]])
+        r = xy @ rot.T
+        dims = r.max(axis=0) - r.min(axis=0)
+        best = min(best, dims[0] * dims[1])
+    return float(best)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_mbr_matches_angle_sweep(seed):
+    rng = np.random.RandomState(seed)
+    xy = rng.rand(40, 2) * 10
+    length, width, ang, cx, cy = _mbr(xy)
+    assert length >= width
+    # calipers area ≤ any swept rectangle area (within sweep resolution)
+    assert length * width <= brute_mbr_area(xy) * (1 + 1e-3)
+    # rectangle must cover every point: re-rotate and check extents
+    rad = np.deg2rad(ang)
+    rot = np.array([[np.cos(-rad), -np.sin(-rad)], [np.sin(-rad), np.cos(-rad)]])
+    r = (xy - [cx, cy]) @ rot.T
+    assert r[:, 0].max() - r[:, 0].min() <= length + 1e-9
+    assert r[:, 1].max() - r[:, 1].min() <= width + 1e-9
+
+
+def test_hull_is_convex_superset():
+    rng = np.random.RandomState(7)
+    xy = rng.rand(100, 2)
+    hull = _convex_hull(xy)
+    # every input point inside hull bbox and hull vertices ⊆ inputs
+    as_set = {tuple(p) for p in xy}
+    assert all(tuple(p) in as_set for p in hull)
+    assert len(hull) >= 3
+
+
+def test_degenerate_components():
+    # single point and collinear pair
+    l1 = _mbr(np.array([[2.0, 3.0]]))
+    assert l1[:2] == (0.0, 0.0)
+    l2 = _mbr(np.array([[0.0, 0.0], [3.0, 4.0]]))
+    assert l2[0] == pytest.approx(5.0)
+    assert l2[1] == 0.0
+
+
+def test_cluster_mbr_grouped_map(spark):
+    rows = []
+    # component 0: an axis-aligned 2×1 rectangle of points
+    for x in (0.0, 1.0, 2.0):
+        for y in (0.0, 1.0):
+            rows.append((len(rows), x, y, 0))
+    # component 1: single point
+    rows.append((len(rows), 9.0, 9.0, 1))
+    df = spark.createDataFrame(rows, ["page_id", "x", "y", "component"])
+    got = {r["component"]: r for r in cluster_mbr(df).collect()}
+    assert got[0]["mbr_length"] == pytest.approx(2.0)
+    assert got[0]["mbr_width"] == pytest.approx(1.0)
+    assert got[0]["center_x"] == pytest.approx(1.0)
+    assert got[1]["mbr_length"] == 0.0
+    assert got[1]["n_points"] == 1

@@ -23,6 +23,7 @@ on-edge-counts-as-inside rule (clip_utils.py:150-159).
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -92,12 +93,147 @@ def pip_anti(points: DataFrame, edges: DataFrame,
 def pip_flag(points: DataFrame, edges: DataFrame, flag: str,
              point_id: str = "page_id", **kw) -> DataFrame:
     """Append a boolean ``flag`` column = inside-any-polygon. Used by
-    fuser stages that AND the PIP result with other predicates."""
+    fuser stages that AND the PIP result with other predicates.
+
+    The hits side scales with the data (NOT a dimension table), so it
+    is deliberately not broadcast — the join-back is an equi-join on
+    the id that AQE turns into broadcast only when hits are small."""
     hits = (
         pip_hits(points, edges, point_id=point_id, **kw)
         .select(point_id).distinct().withColumn(flag, F.lit(True))
     )
-    return points.join(F.broadcast(hits), point_id, "left").fillna({flag: False})
+    return points.join(hits, point_id, "left").fillna({flag: False})
+
+
+def pip_flags_multi(
+    points: DataFrame,
+    edges: DataFrame,
+    flag_types: dict[str, list[str]],
+    point_id: str = "page_id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Append several inside-any-polygon flags in ONE candidate pass.
+
+    ``flag_types`` maps flag column → list of bgt_type values. The
+    edge table is scanned once, crossing parity is computed once per
+    (point, polygon), and each flag ORs the polygons of its types —
+    halving the broadcast-nested-loop work when a pipeline needs
+    multiple PIP layers (e.g. roads + buildings)."""
+    all_types = sorted({t for ts in flag_types.values() for t in ts})
+    px, py = F.col(x), F.col(y)
+    bbox = (px >= F.col("px_min")) & (px <= F.col("px_max")) & \
+           (py >= F.col("py_min")) & (py <= F.col("py_max"))
+    pairs = (
+        points.select(point_id, x, y)
+        .join(F.broadcast(edges.filter(F.col("bgt_type").isin(all_types))), bbox)
+        .groupBy(point_id, "polygon_id", "bgt_type")
+        .agg(F.sum(_crossing(px, py).cast("int")).alias("crossings"))
+        .filter(F.col("crossings") % 2 == 1)
+    )
+    flags = pairs.groupBy(point_id).agg(
+        *[
+            F.max(F.col("bgt_type").isin(ts).cast("int")).alias(flag)
+            for flag, ts in flag_types.items()
+        ]
+    )
+    out = points.join(flags, point_id, "left")
+    for flag in flag_types:
+        out = out.withColumn(flag, F.coalesce(F.col(flag) == 1, F.lit(False)))
+    return out
+
+
+def pip_flag_expr(px: Column, py: Column, polygons: list[dict],
+                  types: list[str] | None = None) -> Column:
+    """MAP-ONLY inside-any-polygon flag: the polygon layer is a small
+    dimension table, so the whole even-odd test inlines as a column
+    expression — per polygon a bbox gate AND an XOR fold of the
+    crossing test over its edges. Zero shuffle, zero join; this is the
+    reference's broadcast nested loop (building_fuser.py:83-87)
+    expressed in whole-stage codegen, and the strategy that scales the
+    flagship pipeline linearly (no pair shuffle, no join-back).
+
+    ``polygons``: sources/layers.polygon_layer()-shaped dicts. Parity
+    over ALL rings (outer + holes) implements the even-odd/hole rule.
+    Horizontal edges are dropped at plan-build time (they never
+    straddle the upward ray — and would divide by zero)."""
+    flag = F.lit(False)
+    for p in polygons:
+        if types is not None and p["bgt_type"] not in types:
+            continue
+        bbox = (
+            (px >= F.lit(p["x_min"])) & (px <= F.lit(p["x_max"]))
+            & (py >= F.lit(p["y_min"])) & (py <= F.lit(p["y_max"]))
+        )
+        parity = F.lit(False)
+        for ring in p["rings"]:
+            for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+                if y1 == y2:
+                    continue
+                straddles = (F.lit(y1) > py) != (F.lit(y2) > py)
+                cross = straddles & (
+                    px
+                    < (F.lit(x2) - F.lit(x1)) * (py - F.lit(y1))
+                    / (F.lit(y2) - F.lit(y1))
+                    + F.lit(x1)
+                )
+                parity = parity != cross
+        flag = flag | (bbox & parity)
+    return flag
+
+
+def pip_flag_pandas_udf(polygons: list[dict], types: list[str] | None = None):
+    """Vectorized Arrow pandas UDF for inside-any-polygon (the
+    input_hint's prescribed hot path: batched NumPy, no per-row Python).
+
+    The inline-expression variant (pip_flag_expr) is exact but its
+    single giant boolean tree exceeds the JVM's JIT method budget for
+    layers beyond ~10 polygons and falls back to interpreted
+    evaluation. Here each edge's crossing test is one NumPy op over the
+    whole Arrow batch (float64, SAME formula and IEEE ops as the oracle
+    — bit-identical results), XOR-folded into a per-polygon parity and
+    OR-reduced across polygons. ~|edges| vector ops per batch.
+    Reference kernel: src/upcp/utils/clip_utils.py:119-190."""
+    import numpy as np
+
+    polys = [
+        (
+            np.asarray(
+                [
+                    (x1, y1, x2, y2)
+                    for ring in p["rings"]
+                    for (x1, y1), (x2, y2) in zip(ring, ring[1:])
+                    if y1 != y2
+                ],
+                dtype=np.float64,
+            ),
+            (p["x_min"], p["y_min"], p["x_max"], p["y_max"]),
+        )
+        for p in polygons
+        if types is None or p["bgt_type"] in types
+    ]
+
+    from pyspark.sql.types import BooleanType
+
+    @F.pandas_udf(BooleanType())
+    def inside(x: pd.Series, y: pd.Series) -> pd.Series:
+        px = x.to_numpy(dtype=np.float64)
+        py = y.to_numpy(dtype=np.float64)
+        out = np.zeros(len(px), dtype=bool)
+        for edges, (bx0, by0, bx1, by1) in polys:
+            parity = np.zeros(len(px), dtype=bool)
+            for x1, y1, x2, y2 in edges:
+                straddles = (y1 > py) != (y2 > py)
+                # identical expression to the oracle SQL / Column path
+                crossing = straddles & (
+                    px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+                )
+                parity ^= crossing
+            bbox = (px >= bx0) & (px <= bx1) & (py >= by0) & (py <= by1)
+            out |= bbox & parity
+        return pd.Series(out)
+
+    return inside
 
 
 # --- DuckDB oracle SQL -------------------------------------------------

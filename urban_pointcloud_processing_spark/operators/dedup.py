@@ -159,9 +159,13 @@ WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= {thresh
 # MinHash signatures + LSH band join + Jaccard verification
 # ----------------------------------------------------------------------
 
-def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, mh0..mh{K-1}) — K min-hashes over the shingle set."""
-    sh = shingle_table(docs, n)
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, sh: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, mh0..mh{K-1}) — K min-hashes over the shingle set.
+    Pass ``sh`` to reuse an already-built (cached) shingle table."""
+    if sh is None:
+        sh = shingle_table(docs, n)
     aggs = [
         F.min((F.col("sid") * F.lit(MH_A[k]) + F.lit(MH_B[k])) % F.lit(HASH_MOD)).alias(
             f"mh{k}"
@@ -208,7 +212,7 @@ def minhash_lsh_dedup(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> Da
     """LSH candidates verified with exact Jaccard ≥ threshold."""
     sh = shingle_table(docs, n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sig = minhash_signatures(docs, n)
+    sig = minhash_signatures(docs, n, sh=sh)
     cand = lsh_candidate_pairs(sig)
     a = sh.select(F.col("doc_id").alias("doc_a"), "sid")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sid")

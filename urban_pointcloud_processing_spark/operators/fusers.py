@@ -45,8 +45,61 @@ class GroundSurfaceFuser(Processor):
         return F.abs(F.col("z") - F.col("ground_z")) < F.lit(self.epsilon)
 
 
+class PipEnricher:
+    """Shared enrichment: compute every PIP flag the pipeline needs up
+    front — the same compute-once-reuse-everywhere pattern as
+    RasterEnricher. Fuser stages then find their flag column present.
+
+    Three strategies, all map-only except ``join``:
+    - ``pandas`` (default): vectorized Arrow pandas UDF over the
+      broadcast polygon list (pip_flag_pandas_udf) — batched NumPy,
+      zero shuffle, scales linearly with cores; the input_hint path.
+    - ``expr``: pure-Catalyst inlined boolean tree (pip_flag_expr) —
+      fastest for small layers (≤ ~10 polygons); beyond that the giant
+      expression overflows the JIT method budget and interprets.
+    - ``join``: one shared candidate-pair pass + join-back
+      (pip_flags_multi) — for layers too large to broadcast at all.
+    """
+
+    def __init__(self, edges: DataFrame, flag_types: dict[str, list[str]],
+                 strategy: str = "pandas"):
+        self.edges = edges
+        self.flag_types = flag_types
+        self.strategy = strategy
+
+    def __call__(self, pages: DataFrame) -> DataFrame:
+        from ..functions.pip import pip_flag_expr, pip_flags_multi
+
+        missing = {
+            f: ts for f, ts in self.flag_types.items() if f not in pages.columns
+        }
+        if not missing:
+            return pages
+        if self.strategy in ("pandas", "local", "expr"):
+            from ..functions.pip import pip_flag_pandas_udf
+            from ..sources.layers import polygon_layer
+
+            polys = polygon_layer()
+            if self.strategy == "expr":
+                return pages.withColumns(
+                    {
+                        flag: pip_flag_expr(F.col("x"), F.col("y"), polys, ts)
+                        for flag, ts in missing.items()
+                    }
+                )
+            return pages.withColumns(
+                {
+                    flag: pip_flag_pandas_udf(polys, ts)(F.col("x"), F.col("y"))
+                    for flag, ts in missing.items()
+                }
+            )
+        return pip_flags_multi(pages, self.edges, missing)
+
+
 class _PipProcessor(Processor):
-    """Base for PIP-driven fusers: enrich = broadcast PIP flag join."""
+    """Base for PIP-driven fusers. If the flag column was pre-computed
+    by PipEnricher the stage is a pure predicate; otherwise it runs its
+    own single-layer PIP flag join."""
 
     flag = "_pip"
 
@@ -54,6 +107,8 @@ class _PipProcessor(Processor):
         self.edges = edges
 
     def enrich(self, df: DataFrame) -> DataFrame:
+        if self.flag in df.columns:
+            return df
         return pip_flag(df, self.edges, self.flag)
 
     def claim(self, df: DataFrame):

@@ -1,0 +1,154 @@
+"""Per-component grouped-map geometry: cluster stats, convex hull,
+minimum bounding rectangle.
+
+Reference semantics re-created (SURVEY.md §2.4/§2.8):
+- per-cluster stats: src/upcp/fusion/car_fuser.py:57-74,
+  street_furniture_fuser.py:63-79 (centroid, extents, counts);
+- convex_hull_poly: src/upcp/utils/math_utils.py:60-62;
+- minimum_bounding_rectangle (rotating calipers over the hull):
+  src/upcp/utils/math_utils.py:65-130.
+
+Spark strategy: components are small (bounded by a 50 m tile), so hull
+and MBR run as ``applyInPandas`` grouped-map transforms — one NumPy
+batch per component, no driver collect. Cluster stats are pure
+Catalyst; sums use exact millimetre integers (the geocode grid is
+mm-resolution) so aggregation order cannot perturb float results and
+the DuckDB oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def _mm(c):
+    return F.round(c * F.lit(1000.0)).cast("long")
+
+
+def cluster_stats(with_comp: DataFrame, comp_col: str = "component") -> DataFrame:
+    """Exact per-component stats: counts, axis-aligned extents, integer
+    millimetre coordinate sums (order-independent, oracle-exact)."""
+    return with_comp.groupBy(comp_col).agg(
+        F.count("*").alias("n_points"),
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
+        F.sum(_mm(F.col("x"))).alias("sum_x_mm"),
+        F.sum(_mm(F.col("y"))).alias("sum_y_mm"),
+    )
+
+
+def cluster_stats_sql(assign_cte: str = "assign") -> str:
+    """SELECT-list fragment over a CTE with (component, x, y)."""
+    return f"""
+SELECT component, COUNT(*) AS n_points,
+       MIN(x) AS x_min, MAX(x) AS x_max,
+       MIN(y) AS y_min, MAX(y) AS y_max,
+       SUM(CAST(round(x * 1000.0) AS BIGINT)) AS sum_x_mm,
+       SUM(CAST(round(y * 1000.0) AS BIGINT)) AS sum_y_mm
+FROM {assign_cte} GROUP BY component
+"""
+
+
+MBR_SCHEMA = StructType(
+    [
+        StructField("component", LongType()),
+        StructField("n_points", LongType()),
+        StructField("mbr_length", DoubleType()),  # larger side
+        StructField("mbr_width", DoubleType()),   # smaller side
+        StructField("mbr_angle_deg", DoubleType()),
+        StructField("center_x", DoubleType()),
+        StructField("center_y", DoubleType()),
+    ]
+)
+
+
+def _convex_hull(xy):
+    """Andrew's monotone chain; returns hull vertices CCW (no repeat).
+    Small-n NumPy — runs inside the grouped-map batch."""
+    import numpy as np
+
+    pts = np.unique(xy, axis=0)
+    if len(pts) <= 2:
+        return pts
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def _mbr(xy):
+    """Rotating calipers over hull edges: the minimum-area rectangle has
+    one side collinear with a hull edge (reference math_utils.py:65-130
+    computes the same via edge-angle rotations)."""
+    import numpy as np
+
+    hull = _convex_hull(xy)
+    if len(hull) == 1:
+        return 0.0, 0.0, 0.0, float(hull[0][0]), float(hull[0][1])
+    if len(hull) == 2:
+        d = hull[1] - hull[0]
+        length = float(np.hypot(*d))
+        ang = float(np.degrees(np.arctan2(d[1], d[0]))) % 180.0
+        c = hull.mean(axis=0)
+        return length, 0.0, ang, float(c[0]), float(c[1])
+
+    edges = np.diff(np.vstack([hull, hull[:1]]), axis=0)
+    angles = np.arctan2(edges[:, 1], edges[:, 0]) % (np.pi / 2)
+    best = None
+    for ang in np.unique(angles):
+        rot = np.array(
+            [[np.cos(-ang), -np.sin(-ang)], [np.sin(-ang), np.cos(-ang)]]
+        )
+        r = hull @ rot.T
+        mn, mx = r.min(axis=0), r.max(axis=0)
+        dims = mx - mn
+        area = dims[0] * dims[1]
+        if best is None or area < best[0]:
+            center_r = (mn + mx) / 2
+            center = center_r @ rot  # inverse of rot.T for a rotation
+            best = (area, dims, ang, center)
+    _, dims, ang, center = best
+    length, width = float(max(dims)), float(min(dims))
+    # angle of the LONG side, degrees in [0, 180)
+    ang_deg = float(np.degrees(ang if dims[0] >= dims[1] else ang + np.pi / 2)) % 180.0
+    return length, width, ang_deg, float(center[0]), float(center[1])
+
+
+def cluster_mbr(with_comp: DataFrame, comp_col: str = "component") -> DataFrame:
+    """Minimum bounding rectangle per component (grouped-map NumPy)."""
+
+    def per_comp(pdf):
+        import pandas as pd
+
+        xy = pdf[["x", "y"]].to_numpy(dtype=float)
+        length, width, ang, cx, cy = _mbr(xy)
+        return pd.DataFrame(
+            {
+                "component": [int(pdf[comp_col].iloc[0])],
+                "n_points": [len(pdf)],
+                "mbr_length": [round(length, 6)],
+                "mbr_width": [round(width, 6)],
+                "mbr_angle_deg": [round(ang, 6)],
+                "center_x": [round(cx, 6)],
+                "center_y": [round(cy, 6)],
+            }
+        )
+
+    return with_comp.groupBy(comp_col).applyInPandas(per_comp, schema=MBR_SCHEMA)

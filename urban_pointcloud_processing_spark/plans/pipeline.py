@@ -86,9 +86,13 @@ class Pipeline:
     processors: list[Processor]
     eager: bool = False
     checkpoint_dir: str | None = None
+    run_id: str = "run0"
     metrics: list[StageMetric] = field(default_factory=list)
+    resumed_stages: list[str] = field(default_factory=list)
 
     def run(self, pages: DataFrame) -> DataFrame:
+        from .lineage import append_stage_lineage
+
         df = pages
         if "label" not in df.columns:
             df = df.withColumn("label", F.lit(Labels.UNKNOWN))
@@ -98,6 +102,8 @@ class Pipeline:
                 path = f"{self.checkpoint_dir}/stage_{i:02d}_{proc.name}"
                 try:
                     df = spark.read.parquet(path)
+                    df.head(1)  # force footer read: empty/corrupt → retry
+                    self.resumed_stages.append(proc.name)
                     continue  # resume: stage already materialized
                 except Exception:
                     pass
@@ -109,15 +115,60 @@ class Pipeline:
             elif self.eager:
                 out = out.localCheckpoint(eager=True)
             if self.eager or self.checkpoint_dir:
-                claimed = (
-                    out.filter(F.col("label") == proc.label).count()
-                    - (0 if proc.target_label == proc.label else 0)
-                )
-                self.metrics.append(
-                    StageMetric(proc.name, claimed, time.time() - t0)
-                )
+                wall = time.time() - t0
+                claimed = out.filter(F.col("label") == proc.label).count()
+                self.metrics.append(StageMetric(proc.name, claimed, wall))
+                if self.checkpoint_dir is not None:
+                    append_stage_lineage(
+                        f"{self.checkpoint_dir}/_lineage",
+                        self.run_id, i, proc.name,
+                        before=df, after=out, label=proc.label,
+                        wall_sec=wall,
+                    )
             df = out
         return df
+
+    def run_fused(self, pages: DataFrame) -> DataFrame:
+        """Single flat-CASE fold — same first-writer-wins semantics as
+        ``run`` but each claim expression appears at most twice in the
+        plan instead of doubling per stage.
+
+        Why: the naive fold ``label := CASE WHEN label==t AND claim …
+        ELSE label END`` references the previous label column twice
+        (condition + else); after Catalyst collapses the projections the
+        stage-1 expression is inlined 2^(k-1) times by stage k —
+        exponential blowup that kicks the plan out of efficient codegen
+        when claims are large inlined predicates (the map-only PIP
+        flags). The flat CASE is the algebraic normal form:
+
+        - a stage targeting UNLABELLED appends branch (claim, label) at
+          the end (earlier branches win ⇒ first-writer-wins);
+        - a stage re-targeting label L (e.g. the road fuser retargets
+          GROUND, road_fuser.py:81) inserts (branch_cond AND claim,
+          label) immediately before every branch that writes L.
+        """
+        df = pages
+        branches: list[tuple] = []
+        for proc in self.processors:
+            df = proc.enrich(df)
+            c = proc.claim(df)
+            if proc.target_label == Labels.UNKNOWN:
+                branches.append((c, proc.label))
+            else:
+                out: list[tuple] = []
+                for cond, val in branches:
+                    if val == proc.target_label:
+                        out.append((cond & c, proc.label))
+                    out.append((cond, val))
+                branches = out
+        label = F.lit(int(Labels.UNKNOWN))
+        for cond, val in reversed(branches):
+            label = F.when(cond, F.lit(int(val))).otherwise(label)
+        drop = [
+            p.flag for p in self.processors
+            if getattr(p, "flag", None) and p.flag in df.columns
+        ]
+        return df.withColumn("label", label).drop(*drop)
 
     def label_statistics(self, labelled: DataFrame) -> DataFrame:
         """Reference analysis_tools.get_label_stats (analysis/analysis_tools.py:8-18)."""

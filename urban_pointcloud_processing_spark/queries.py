@@ -188,13 +188,19 @@ def _pipeline_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         BelowGroundNoiseFilter,
         BuildingFuser,
         GroundSurfaceFuser,
+        PipEnricher,
         RasterEnricher,
         RoadFuser,
     )
     from .plans.pipeline import Pipeline
 
-    pages = RasterEnricher(R.raster_df(spark))(pages_from_orders(spark, sf_dir))
     edges = polygon_edges_df(spark)
+    pages = RasterEnricher(R.raster_df(spark))(pages_from_orders(spark, sf_dir))
+    # one candidate pass computes both PIP flags (roads + buildings)
+    pages = PipEnricher(
+        edges,
+        {"_in_road": list(ROAD_TYPES), "_in_building": ["pand"]},
+    )(pages)
     pipe = Pipeline(
         [
             GroundSurfaceFuser(epsilon=0.2),
@@ -205,7 +211,7 @@ def _pipeline_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ]
     )
-    return pipe.run(pages)
+    return pipe.run_fused(pages)
 
 
 _GZ = R.ground_z_sql(_GX, _GY)
@@ -457,12 +463,15 @@ from .operators import multimodal as M  # noqa: E402
 from .operators import similarity as S  # noqa: E402
 
 
+from .sources.pages import spread_small_scan  # noqa: E402
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return spread_small_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return spread_small_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 _QC_SQL = T.quality_cols_sql("text")
@@ -590,6 +599,308 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-joins (the 100 TB path); deterministic planes keep it
     oracle-reproducible."""
     return S.ann_lsh_topk(_embs(spark, sf_dir), 10, 50)
+
+
+# ----------------------------------------------------------------------
+# html→text extraction (input_hint per-row invariant: byte-identical
+# extracted text per url/doc)
+# ----------------------------------------------------------------------
+
+from .functions.html import extract_text_col, extract_text_sql  # noqa: E402
+
+_HTML_WRAP_SQL = (
+    "'<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || "
+    "'</h1><p>' || text || '</p>&amp;copy;</body></html>'"
+)
+
+
+@register(
+    "html_extract",
+    f"SELECT doc_id, {extract_text_sql(_HTML_WRAP_SQL)} AS extracted FROM documents",
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical html→text: wrap each document in deterministic
+    html (binary), extract with the Arrow pandas UDF, compare against
+    an independent RE2 implementation in the oracle."""
+    docs = _docs(spark, sf_dir)
+    html = F.encode(
+        F.concat(
+            F.lit("<html><body><h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit("</p>&amp;copy;</body></html>"),
+        ),
+        "UTF-8",
+    )
+    return docs.select("doc_id", extract_text_col(html).alias("extracted"))
+
+
+# ----------------------------------------------------------------------
+# Clip predicate family (reference clip_utils.py:22-116) — box variant
+# ----------------------------------------------------------------------
+
+from .functions.clip import box_clip  # noqa: E402
+
+
+@register(
+    "clip_box",
+    f"""
+WITH pts AS ({PAGES_CTE})
+SELECT page_id FROM pts
+WHERE x >= 119300.0 AND x <= 119350.0
+  AND y >= 485100.0 AND y <= 485150.0
+  AND z >= 2.0 AND z <= 8.0
+""",
+)
+def q_clip_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """box_clip selection predicate (reference clip_utils.py:43-65):
+    the center demo tile between z 2..8 — pure Catalyst filter, pushed
+    to the scan."""
+    pages = pages_from_orders(spark, sf_dir)
+    return pages.filter(
+        box_clip(
+            F.col("x"), F.col("y"), F.col("z"),
+            119300.0, 485100.0, 119350.0, 485150.0, 2.0, 8.0,
+        )
+    ).select("page_id")
+
+
+# ----------------------------------------------------------------------
+# Component size filter + seed-threshold region fill (reference
+# label_connected_comp.py:92-135) and kNN-max surface
+# ----------------------------------------------------------------------
+
+from .operators.components import seed_fill, size_filter  # noqa: E402
+from .operators.neighbors import knn_max  # noqa: E402
+
+
+@register(
+    "component_size_filter",
+    f"""
+WITH RECURSIVE {_CC_BASE},
+assign AS (
+  SELECT g.page_id, c.component
+  FROM ground g JOIN comp c ON g.cx * 2147483648 + g.cy = c.cell
+),
+sizes AS (SELECT component, COUNT(*) AS n FROM assign GROUP BY component)
+SELECT a.page_id,
+       CASE WHEN s.n < 5 THEN -1 ELSE a.component END AS component
+FROM assign a JOIN sizes s ON s.component = a.component
+""",
+)
+def q_component_size_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small components (<5 points) become noise id −1 (reference
+    label_connected_comp.py:92-97)."""
+    df = q_connected_components(spark, sf_dir)
+    return size_filter(df, min_component_size=5).select("page_id", "component")
+
+
+_REGION_FILL_ORACLE = f"""
+WITH RECURSIVE {_CC_BASE},
+road_pip AS (
+  SELECT p.page_id,
+         SUM(CASE WHEN ((e.y1 > p.y) != (e.y2 > p.y))
+                   AND (p.x < (e.x2 - e.x1) * (p.y - e.y1) / (e.y2 - e.y1) + e.x1)
+              THEN 1 ELSE 0 END) AS crossings
+  FROM pts p
+  JOIN {polygon_edges_values_sql()}
+    ON p.x >= e.px_min AND p.x <= e.px_max
+   AND p.y >= e.py_min AND p.y <= e.py_max
+  WHERE {_ROAD_FILTER}
+  GROUP BY p.page_id, e.polygon_id
+),
+road AS (SELECT DISTINCT page_id FROM road_pip WHERE crossings % 2 = 1),
+assign AS (
+  SELECT g.page_id, c.component,
+         (r.page_id IS NOT NULL) AS is_road
+  FROM ground g
+  JOIN comp c ON g.cx * 2147483648 + g.cy = c.cell
+  LEFT JOIN road r ON r.page_id = g.page_id
+),
+frac AS (
+  SELECT component,
+         CAST(SUM(CASE WHEN is_road THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS f
+  FROM assign GROUP BY component
+)
+SELECT a.page_id, a.component,
+       CASE WHEN a.is_road THEN 1 WHEN f.f > 0.3 THEN 1 ELSE 0 END AS label
+FROM assign a JOIN frac f ON f.component = a.component
+"""
+
+
+@register("region_fill", _REGION_FILL_ORACLE)
+def q_region_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-threshold region fill (reference label_connected_comp.py:
+    111-123): ground-band components where >30% of points are road-PIP
+    seeds get the road label grown to every point."""
+    from .operators.components import grid_components
+
+    pages = pages_from_orders(spark, sf_dir)
+    enriched = R.with_raster(pages, R.raster_df(spark))
+    ground = enriched.filter(F.abs(F.col("z") - F.col("ground_z")) < 0.2)
+    road_edges = polygon_edges_df(spark).filter(F.col("bgt_type").isin(*ROAD_TYPES))
+    road_ids = pip_hits(ground, road_edges).select("page_id").distinct()
+    seeded = ground.join(
+        road_ids.withColumn("_is_road", F.lit(True)), "page_id", "left"
+    ).withColumn(
+        "label", F.when(F.col("_is_road"), F.lit(1)).otherwise(F.lit(0))
+    )
+    comps = grid_components(
+        seeded.select("page_id", "x", "y"), grid_size=1.0
+    ).select("page_id", "component")
+    with_comp = seeded.select("page_id", "label").join(comps, "page_id")
+    filled = seed_fill(with_comp, seed_label=1, threshold=0.3)
+    return filled.select("page_id", "component", "label")
+
+
+@register(
+    "knn_max",
+    f"""
+WITH pts AS ({PAGES_CTE}),
+cand AS (
+  SELECT p.page_id, o.obj_id, CAST(o.z AS DOUBLE) AS z,
+         (p.x - o.x) * (p.x - o.x) + (p.y - o.y) * (p.y - o.y) AS dist_sq
+  FROM pts p JOIN {point_layer_values_sql()}
+    ON (p.x - o.x) * (p.x - o.x) + (p.y - o.y) * (p.y - o.y) <= 1600.0
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY page_id ORDER BY dist_sq, obj_id) AS rn
+    FROM cand
+  ) WHERE rn <= 4
+)
+SELECT page_id, MAX(z) AS max_val, COUNT(*) AS n_neighbors
+FROM topk GROUP BY page_id
+""",
+)
+def q_knn_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN 'max' variant (reference interpolation.py:302-303) — builds
+    the building-surface raster."""
+    pages = pages_from_orders(spark, sf_dir)
+    return knn_max(
+        pages, point_layer_df(spark), k=4, max_dist=40.0
+    ).select("page_id", "max_val", "n_neighbors")
+
+
+# ----------------------------------------------------------------------
+# Per-component analytics: cluster stats, MBR, car-style dim fuser
+# (reference car_fuser.py:57-85, street_furniture_fuser.py:63-79,
+# math_utils.py:65-130)
+# ----------------------------------------------------------------------
+
+from .operators.geometry import cluster_mbr, cluster_stats, cluster_stats_sql  # noqa: E402
+
+
+def _ground_with_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.components import grid_components
+
+    pages = pages_from_orders(spark, sf_dir)
+    enriched = R.with_raster(pages, R.raster_df(spark))
+    ground = enriched.filter(F.abs(F.col("z") - F.col("ground_z")) < 0.2).select(
+        "page_id", "x", "y"
+    )
+    comps = grid_components(ground.select("page_id", "x", "y"), grid_size=1.0)
+    return ground.join(comps.select("page_id", "component"), "page_id")
+
+
+_CLUSTER_ASSIGN_CTE = f"""
+assign AS (
+  SELECT g.page_id, c.component, p.x, p.y
+  FROM ground g
+  JOIN comp c ON g.cx * 2147483648 + g.cy = c.cell
+  JOIN pts p ON p.page_id = g.page_id
+)"""
+
+
+@register(
+    "cluster_stats",
+    f"""
+WITH RECURSIVE {_CC_BASE},
+{_CLUSTER_ASSIGN_CTE}
+{cluster_stats_sql('assign')}
+""",
+)
+def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-component exact stats: extents + mm-integer coordinate sums
+    (order-independent → oracle-exact, SURVEY.md §7.3 item 1)."""
+    return cluster_stats(_ground_with_comp(spark, sf_dir))
+
+
+@register("cluster_mbr")  # grouped-map MBR: no SQL oracle (rows-only)
+def q_cluster_mbr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotating-calipers minimum bounding rectangle per component
+    (applyInPandas grouped-map; reference math_utils.py:65-130).
+    Validated against a NumPy oracle in tests/test_geometry.py."""
+    return cluster_mbr(_ground_with_comp(spark, sf_dir))
+
+
+@register(
+    "cluster_dim_fuser",
+    f"""
+WITH RECURSIVE {_CC_BASE},
+{_CLUSTER_ASSIGN_CTE},
+stats AS ({cluster_stats_sql('assign')})
+SELECT component, n_points,
+       x_max - x_min AS ext_x, y_max - y_min AS ext_y
+FROM stats
+WHERE n_points >= 3
+  AND x_max - x_min >= 1.5 AND x_max - x_min <= 20.0
+  AND y_max - y_min >= 1.5 AND y_max - y_min <= 20.0
+""",
+)
+def q_cluster_dim_fuser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CarFuser-style dimension window over components (reference
+    car_fuser.py:61-74): keep clusters whose point count and axis
+    extents fall inside the target window."""
+    stats = cluster_stats(_ground_with_comp(spark, sf_dir))
+    ext_x = F.col("x_max") - F.col("x_min")
+    ext_y = F.col("y_max") - F.col("y_min")
+    return (
+        stats.filter(
+            (F.col("n_points") >= 3)
+            & ext_x.between(1.5, 20.0)
+            & ext_y.between(1.5, 20.0)
+        )
+        .select(
+            "component", "n_points",
+            ext_x.alias("ext_x"), ext_y.alias("ext_y"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# Frame-spec window stencil (reference _compute_saggign_angle,
+# cable_fuser.py:565-574: value at i compares z[i−d] and z[i+d])
+# ----------------------------------------------------------------------
+
+
+@register(
+    "stencil_lag_lead",
+    """
+SELECT event_id,
+       lag(value, 2) OVER w AS lag2,
+       lead(value, 2) OVER w AS lead2,
+       lead(value, 2) OVER w - lag(value, 2) OVER w AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q_stencil_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead(d=2) stencil per user ordered by (ts, event_id) — the
+    sagging-angle frame-spec window re-expressed over events."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag2, lead2 = F.lag("value", 2).over(w), F.lead("value", 2).over(w)
+    return ev.select(
+        "event_id",
+        lag2.alias("lag2"),
+        lead2.alias("lead2"),
+        (lead2 - lag2).alias("delta"),
+    )
 
 
 # ----------------------------------------------------------------------

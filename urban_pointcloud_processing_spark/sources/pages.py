@@ -26,11 +26,23 @@ from ..geocode import geocode
 from ..tiling import with_tiles
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Single-file test parquet arrives as one input split, which would
+    serialize every downstream stage on one core. Round-robin the rows
+    across the default parallelism BEFORE the compute-heavy projection
+    (the shuffle carries only the scanned columns). At production scale
+    the scan has many splits and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def pages_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         F.col("o_orderkey").alias("page_id")
     )
-    return with_tiles(geocode(df))
+    return with_tiles(geocode(spread_small_scan(df)))
 
 
 def synthetic_pages(spark: SparkSession, n_rows: int,
