@@ -1037,6 +1037,189 @@ def q_cluster_dim_fuser(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# LayerLCC: per-height-band CC + seed growing, sequential band fold
+# (reference layer_lcc.py:70-136 — band filter :70-93, loop :131-136)
+# ----------------------------------------------------------------------
+
+_BANDS = ((0.5, 2.5), (2.5, 6.0))
+
+
+def _band_cc_sql(k: int, b0: float, b1: float) -> str:
+    """One band's CC CTE chain (suffix _k); pts/building seeds shared."""
+    return f"""
+band{k} AS (
+  SELECT page_id, x, y,
+         CAST(floor(x) AS BIGINT) AS cx, CAST(floor(y) AS BIGINT) AS cy
+  FROM pts WHERE z - {_GZ} >= {b0} AND z - {_GZ} < {b1}
+),
+cells{k} AS (SELECT DISTINCT cx, cy, cx * 2147483648 + cy AS cell FROM band{k}),
+adj{k} AS (
+  SELECT a.cell AS src, b.cell AS dst
+  FROM cells{k} a JOIN cells{k} b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+),
+reach{k}(src, node) AS (
+  SELECT cell, cell FROM cells{k}
+  UNION
+  SELECT r.src, e.dst FROM reach{k} r JOIN adj{k} e ON r.node = e.src
+),
+comp{k} AS (SELECT src AS cell, MIN(node) AS component FROM reach{k} GROUP BY src),
+assign{k} AS (
+  SELECT b.page_id, c.component,
+         (s.page_id IS NOT NULL) AS is_seed
+  FROM band{k} b
+  JOIN comp{k} c ON b.cx * 2147483648 + b.cy = c.cell
+  LEFT JOIN seeds s ON s.page_id = b.page_id
+),
+frac{k} AS (
+  SELECT component,
+         CAST(SUM(CASE WHEN is_seed THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS f
+  FROM assign{k} GROUP BY component
+),
+out{k} AS (
+  SELECT {k} AS band, a.page_id, a.component, a.is_seed,
+         (a.is_seed OR f.f > 0.1) AS grown
+  FROM assign{k} a JOIN frac{k} f ON f.component = a.component
+)"""
+
+
+_LAYER_GROWER_ORACLE = (
+    "WITH RECURSIVE pts AS (" + PAGES_CTE + "),\n"
+    + f"""
+seed_pip AS (
+  SELECT p.page_id,
+         SUM(CASE WHEN ((e.y1 > p.y) != (e.y2 > p.y))
+                   AND (p.x < (e.x2 - e.x1) * (p.y - e.y1) / (e.y2 - e.y1) + e.x1)
+              THEN 1 ELSE 0 END) AS crossings
+  FROM pts p
+  JOIN {polygon_edges_values_sql()}
+    ON p.x >= e.px_min AND p.x <= e.px_max
+   AND p.y >= e.py_min AND p.y <= e.py_max
+  WHERE e.bgt_type = 'pand'
+  GROUP BY p.page_id, e.polygon_id
+),
+seeds AS (SELECT DISTINCT page_id FROM seed_pip WHERE crossings % 2 = 1),
+"""
+    + ",\n".join(_band_cc_sql(k, b0, b1) for k, (b0, b1) in enumerate(_BANDS))
+    + "\n"
+    + " UNION ALL ".join(f"SELECT * FROM out{k}" for k in range(len(_BANDS)))
+)
+
+
+@register("layer_grower", _LAYER_GROWER_ORACLE)
+def q_layer_grower(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LayerLCC: for each height band above the interpolated ground,
+    run grid CC and grow the building seed label to components whose
+    seed fraction exceeds the threshold; bands fold sequentially."""
+    from .operators.components import grid_components
+
+    pages = pages_from_orders(spark, sf_dir)
+    enriched = R.with_raster(pages, R.raster_df(spark))
+    building_edges = polygon_edges_df(spark).filter(F.col("bgt_type") == "pand")
+    seed_ids = pip_hits(enriched, building_edges).select("page_id").distinct()
+    seeded = enriched.join(
+        seed_ids.withColumn("is_seed", F.lit(True)), "page_id", "left"
+    ).withColumn("is_seed", F.coalesce(F.col("is_seed"), F.lit(False)))
+
+    parts = []
+    for k, (b0, b1) in enumerate(_BANDS):
+        dz = F.col("z") - F.col("ground_z")
+        band = seeded.filter((dz >= F.lit(b0)) & (dz < F.lit(b1)))
+        comps = grid_components(
+            band.select("page_id", "x", "y"), grid_size=1.0
+        ).select("page_id", "component")
+        joined = band.select("page_id", "is_seed").join(comps, "page_id")
+        frac = joined.groupBy("component").agg(
+            (
+                F.sum(F.col("is_seed").cast("int")).cast("double") / F.count("*")
+            ).alias("_f")
+        )
+        parts.append(
+            joined.join(frac, "component").select(
+                F.lit(k).alias("band"),
+                "page_id",
+                "component",
+                "is_seed",
+                (F.col("is_seed") | (F.col("_f") > 0.1)).alias("grown"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+# ----------------------------------------------------------------------
+# PCA shape features per cell (reference cable_fuser.py:133-149 —
+# covariance eigen-decomposition → linearity candidates)
+# ----------------------------------------------------------------------
+
+from .operators.pca import pca_cell_features, pca_cell_features_sql  # noqa: E402
+
+
+@register("pca_linearity", pca_cell_features_sql(PAGES_CTE, 5.0, 3))
+def q_pca_linearity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-5m-cell covariance eigenvalues + linearity score — exact
+    (centered integer moments, closed-form 2×2 eigenvalues)."""
+    return pca_cell_features(pages_from_orders(spark, sf_dir), 5.0, 3)
+
+
+@register(
+    "cable_candidates",
+    f"""
+WITH feats AS ({pca_cell_features_sql(PAGES_CTE, 5.0, 3).strip()})
+SELECT cell_x, cell_y, n_points, linearity
+FROM feats WHERE linearity > 0.95 AND n_points >= 5
+""",
+)
+def q_cable_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CableFuser candidate cells: highly linear voxels (reference
+    keeps voxels whose dominant eigenvalue explains the spread,
+    cable_fuser.py:151-171)."""
+    feats = pca_cell_features(pages_from_orders(spark, sf_dir), 5.0, 3)
+    return feats.filter(
+        (F.col("linearity") > 0.95) & (F.col("n_points") >= 5)
+    ).select("cell_x", "cell_y", "n_points", "linearity")
+
+
+# ----------------------------------------------------------------------
+# Tumbling-window aggregation over events (time-bucketed agg — the
+# 1-D binned statistic of §2.4 in the time domain)
+# ----------------------------------------------------------------------
+
+
+@register(
+    "tumbling_window",
+    """
+SELECT user_id,
+       date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events,
+       SUM(value ORDER BY event_id) AS sum_value
+FROM events
+GROUP BY user_id, date_trunc('hour', ts)
+""",
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling-window aggregate per user. sum_value folds over
+    a sorted per-group array so the float accumulation order matches
+    the oracle's ordered SUM deterministically (SURVEY.md §7.3 item 1)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    grouped = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("window_start")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sort_array(F.collect_list(F.struct("event_id", "value"))).alias("_ev"),
+    )
+    return grouped.select(
+        "user_id", "window_start", "n_events",
+        F.aggregate(
+            "_ev", F.lit(0.0), lambda a, s: a + s["value"]
+        ).alias("sum_value"),
+    )
+
+
+# ----------------------------------------------------------------------
 # Frame-spec window stencil (reference _compute_saggign_angle,
 # cable_fuser.py:565-574: value at i compares z[i−d] and z[i+d])
 # ----------------------------------------------------------------------
