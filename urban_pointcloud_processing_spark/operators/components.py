@@ -165,6 +165,122 @@ def grid_components_per_tile(
     return pts.groupBy(tile_col).applyInPandas(cc, schema=out_schema)
 
 
+def grid_components_two_level(
+    points: DataFrame,
+    grid_size: float,
+    point_id: str = "page_id",
+    out_col: str = "component",
+    tile_cells: int = 64,
+) -> DataFrame:
+    """Two-level CC — the scalable form of ``grid_components`` with the
+    SAME output (component = min cell key of the global component):
+
+    1. partition occupied cells into (tile_cells × tile_cells) blocks;
+    2. per-block union-find via one ``applyInPandas`` pass (parallel,
+       no iteration — block cell counts are bounded);
+    3. cross-block edges exist only between BORDER cells; the
+       local-root merge graph is tiny (O(perimeter)), so it resolves
+       with a driver-side union-find and broadcasts back.
+
+    At 10^12 rows step 3's root graph stays small because components
+    rarely span many blocks (reference CC is per-50m-tile anyway); a
+    deeper hierarchy would repeat step 2 on the root graph if needed.
+    """
+    pts = _with_cells(points, grid_size)
+    cells = pts.select("_cx", "_cy", "_cell").distinct()
+    tc = int(tile_cells)
+    blocked = cells.withColumns(
+        {
+            "_bx": F.floor(F.col("_cx") / F.lit(tc)).cast("long"),
+            "_by": F.floor(F.col("_cy") / F.lit(tc)).cast("long"),
+        }
+    )
+
+    roots_schema = "cell long, root long, bx long, by long, border boolean"
+
+    def local_cc(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent = {
+            int(cx) * PAIR + int(cy): int(cx) * PAIR + int(cy)
+            for cx, cy in zip(pdf["_cx"], pdf["_cy"])
+        }
+
+        def find(a: int) -> int:
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        occupied = set(parent)
+        for k in list(parent):
+            cx, cy = k // PAIR, k % PAIR
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    nb = (cx + dx) * PAIR + (cy + dy)
+                    if nb in occupied:
+                        ra, rb = find(k), find(nb)
+                        if ra != rb:
+                            parent[max(ra, rb)] = min(ra, rb)
+        bx, by = int(pdf["_bx"].iloc[0]), int(pdf["_by"].iloc[0])
+        rows = []
+        for cx, cy in zip(pdf["_cx"], pdf["_cy"]):
+            k = int(cx) * PAIR + int(cy)
+            on_border = (
+                cx % tc in (0, tc - 1) or cy % tc in (0, tc - 1)
+            )
+            rows.append((k, find(k), bx, by, bool(on_border)))
+        return pd.DataFrame(rows, columns=["cell", "root", "bx", "by", "border"])
+
+    local = blocked.groupBy("_bx", "_by").applyInPandas(
+        local_cc, schema=roots_schema
+    ).persist()
+
+    # cross-block merge edges: border cell ↔ neighboring border cell in
+    # a DIFFERENT block → (root_a, root_b)
+    border = local.filter(F.col("border")).select(
+        "cell", "root", "bx", "by",
+        (F.col("cell") / F.lit(PAIR)).cast("long").alias("cx"),
+        F.pmod(F.col("cell"), F.lit(PAIR)).alias("cy"),
+    )
+    a = border.select(
+        F.col("root").alias("root_a"),
+        F.explode(neighbor_cells(F.col("cx"), F.col("cy"))).alias("cell"),
+        F.col("bx").alias("bx_a"), F.col("by").alias("by_a"),
+    )
+    b = border.select("cell", F.col("root").alias("root_b"), "bx", "by")
+    merge_edges = (
+        a.join(b, "cell")
+        .filter((F.col("bx_a") != F.col("bx")) | (F.col("by_a") != F.col("by")))
+        .select("root_a", "root_b")
+        .distinct()
+        .collect()
+    )
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in merge_edges:
+        ra, rb = find(r["root_a"]), find(r["root_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    mapping = [(k, find(k)) for k in list(parent)]
+    spark = points.sparkSession
+    if mapping:
+        map_df = spark.createDataFrame(mapping, ["root", "_groot"])
+        resolved = local.join(F.broadcast(map_df), "root", "left").select(
+            "cell", F.coalesce("_groot", "root").alias(out_col)
+        )
+    else:
+        resolved = local.select("cell", F.col("root").alias(out_col))
+    out = pts.join(resolved.withColumnRenamed("cell", "_cell"), "_cell")
+    local.unpersist()
+    return out.drop("_cell", "_cx", "_cy")
+
+
 def size_filter(
     with_comp: DataFrame,
     min_component_size: int,

@@ -426,7 +426,7 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid CC (1 m cells, 8-neighborhood) over ground-band pages;
     component id canonicalized to min cell key. Engine side runs the
     iterative min-propagation + pointer-jumping DataFrame loop."""
-    from .operators.components import grid_components
+    from .operators.components import grid_components_two_level as grid_components
 
     pages = pages_from_orders(spark, sf_dir)
     enriched = R.with_raster(pages, R.raster_df(spark))
@@ -735,7 +735,7 @@ def q_region_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seed-threshold region fill (reference label_connected_comp.py:
     111-123): ground-band components where >30% of points are road-PIP
     seeds get the road label grown to every point."""
-    from .operators.components import grid_components
+    from .operators.components import grid_components_two_level as grid_components
 
     pages = pages_from_orders(spark, sf_dir)
     enriched = R.with_raster(pages, R.raster_df(spark))
@@ -960,7 +960,7 @@ from .operators.geometry import cluster_mbr, cluster_stats, cluster_stats_sql  #
 
 
 def _ground_with_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.components import grid_components
+    from .operators.components import grid_components_two_level as grid_components
 
     pages = pages_from_orders(spark, sf_dir)
     enriched = R.with_raster(pages, R.raster_df(spark))
@@ -1034,6 +1034,17 @@ def q_cluster_dim_fuser(spark: SparkSession, sf_dir: str) -> DataFrame:
             ext_x.alias("ext_x"), ext_y.alias("ext_y"),
         )
     )
+
+
+@register("gap_fill")  # grouped-map NumPy fill: no SQL oracle (rows-only)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile raster gap fill (reference ahn_utils.py:402-456
+    fill_gaps_intuitive): iterative 3×3 neighbor-mean fill of NULL
+    building-surface cells, applyInPandas per tile. Validated against
+    a NumPy oracle in tests/test_gapfill.py."""
+    from .operators.gapfill import fill_building_gaps
+
+    return fill_building_gaps(R.raster_df(spark), max_rounds=1)
 
 
 # ----------------------------------------------------------------------
@@ -1112,7 +1123,7 @@ def q_layer_grower(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LayerLCC: for each height band above the interpolated ground,
     run grid CC and grow the building seed label to components whose
     seed fraction exceeds the threshold; bands fold sequentially."""
-    from .operators.components import grid_components
+    from .operators.components import grid_components_two_level as grid_components
 
     pages = pages_from_orders(spark, sf_dir)
     enriched = R.with_raster(pages, R.raster_df(spark))
