@@ -27,8 +27,8 @@ from ..functions.text import (
     HASH_MOD,
     shingles_expr,
     shingles_from_tokens_sql,
-    str_hash_expr,
     str_hash_sql,
+    str_hash_udf,
     tokens_expr,
     tokens_sql,
 )
@@ -82,13 +82,16 @@ FROM documents GROUP BY text
 # ----------------------------------------------------------------------
 
 def shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, sid) — distinct word-n-gram shingles, hashed."""
-    return (
-        docs.select(
-            "doc_id", F.explode(shingles_expr(F.col("text"), n)).alias("sh")
-        )
-        .withColumn("sid", str_hash_expr(F.col("sh")))
-        .select("doc_id", "sid")
+    """(doc_id, sid) — distinct word-n-gram shingles, hashed.
+
+    The char-fold hash runs on the DISTINCT shingle strings only (web
+    shingles repeat heavily across documents), then joins back — the
+    hash work scales with vocabulary, not corpus size."""
+    pairs = docs.select(
+        "doc_id", F.explode(shingles_expr(F.col("text"), n)).alias("sh")
+    )
+    return pairs.select(
+        "doc_id", str_hash_udf()(F.col("sh")).alias("sid")
     )
 
 
@@ -286,7 +289,7 @@ def simhash(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) — 16-bit token-multiplicity simhash."""
     toks = docs.select(
         "doc_id", F.explode(tokens_expr(F.col("text"))).alias("tok")
-    ).withColumn("th", str_hash_expr(F.col("tok")))
+    ).withColumn("th", str_hash_udf()(F.col("tok")))
     aggs = [
         F.sum(
             F.when(

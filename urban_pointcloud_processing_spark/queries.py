@@ -77,6 +77,26 @@ def q_tile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tile_histogram_salted",
+    f"""
+WITH pts AS ({PAGES_CTE})
+SELECT {tile_x_sql('x')} AS tile_x, {tile_y_sql('y')} AS tile_y,
+       COUNT(*) AS n_pages
+FROM pts GROUP BY 1, 2
+""",
+)
+def q_tile_histogram_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage variant of tile_histogram (north_rule:
+    explicit salting for dense cells): partial counts per (tile, salt),
+    final per tile — identical result, bounded per-task key width."""
+    from .operators.skew import salted_count
+
+    return salted_count(
+        pages_from_orders(spark, sf_dir), ["tile_x", "tile_y"], salt_mod=16
+    ).withColumnRenamed("n_rows", "n_pages")
+
+
 # ----------------------------------------------------------------------
 # Point-in-polygon join (reference clip_utils.py:193-238 + fusers)
 # ----------------------------------------------------------------------
@@ -529,7 +549,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("sid").alias("min_shingle"))
     )
     fp = docs.select(
-        "doc_id", T.str_hash_expr(F.col("text")).alias("fingerprint")
+        "doc_id", T.str_hash_udf()(F.col("text")).alias("fingerprint")
     )
     return fp.join(mins, "doc_id")
 
