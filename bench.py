@@ -238,8 +238,12 @@ def _run_suite(names: list[str]) -> dict:
     spark = get_spark(master=f"local[{CPUS}]", app_name="upcp-bench")
     registry = Q.queries()
 
-    # Warm-up: JVM + codegen + parquet footer caches.
+    # Warm-up: JVM + codegen + parquet footer caches, plus one pandas-UDF
+    # query so the Python workers are forked before any timed query.
     registry["tile_assign"](spark, SF_DIR).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    registry["doc_fingerprint"](spark, SF_DIR).write.mode("overwrite").format(
         "noop"
     ).save()
 

@@ -805,6 +805,54 @@ def q_knn_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# CRS conversion + hierarchical cells (reference rd_converter.py:43-95;
+# north_star H3/S2 encode)
+# ----------------------------------------------------------------------
+
+from .functions.crs import rd_to_wgs84, rd_to_wgs84_sql, zcell, zcell_sql  # noqa: E402
+
+_LAT_SQL, _LON_SQL = rd_to_wgs84_sql("x", "y")
+
+
+@register(
+    "geocode_wgs84",
+    f"""
+WITH pts AS ({PAGES_CTE})
+SELECT page_id, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM pts
+""",
+)
+def q_geocode_wgs84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RD→WGS84 polynomial conversion (reference rd_converter.py:43-95;
+    public Schreutelkamp/Strang van Hees formula) — pure Column
+    arithmetic, bit-identical fold order vs the oracle."""
+    pages = pages_from_orders(spark, sf_dir)
+    lat, lon = rd_to_wgs84(F.col("x"), F.col("y"))
+    return pages.select("page_id", lat.alias("lat"), lon.alias("lon"))
+
+
+@register(
+    "h3_cells",
+    f"""
+WITH pts AS ({PAGES_CTE}),
+ll AS (SELECT page_id, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM pts)
+SELECT page_id, {zcell_sql('lat', 'lon', 16)} AS cell_r16,
+       {zcell_sql('lat', 'lon', 16)} >> 8 AS cell_r12
+FROM ll
+""",
+)
+def q_h3_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical Z-order cells over WGS84 (H3/S2-style prefix
+    nesting: parent = cell >> 2Δres) — the north-star spatial index."""
+    pages = pages_from_orders(spark, sf_dir)
+    lat, lon = rd_to_wgs84(F.col("x"), F.col("y"))
+    ll = pages.select("page_id", lat.alias("lat"), lon.alias("lon"))
+    c = zcell(F.col("lat"), F.col("lon"), 16)
+    return ll.select(
+        "page_id", c.alias("cell_r16"), F.shiftright(c, 8).alias("cell_r12")
+    )
+
+
+# ----------------------------------------------------------------------
 # Raster build (reference _get_ahn_surface, ahn_preprocessing.py:
 # 129-185: IDW surface for ground, max-surface for building) and the
 # pole fuser's voxel-candidate matching (pole_fuser.py:171-208)
