@@ -69,6 +69,82 @@ def knn_candidates(
     )
 
 
+def knn_candidates_shuffle(
+    probe: DataFrame,
+    build: DataFrame,
+    max_dist: float,
+    probe_id: str = "page_id",
+    build_id: str = "obj_id",
+    build_cols: tuple[str, ...] = ("label",),
+    cell_res: float | None = None,
+) -> DataFrame:
+    """Shuffle-join twin of ``knn_candidates`` for BUILD SIDES THAT
+    SCALE WITH THE DATA (e.g. labeled pages feeding label propagation):
+    both sides are keyed by spatial cell, the build side explodes to
+    its 3×3 neighborhood, and the join is a plain equi-join on the cell
+    key — sort-merge/shuffle-hash at scale, never a broadcast. Exact
+    for cell_res ≥ max_dist (same guarantee as the broadcast variant)."""
+    cell_res = cell_res or max_dist
+    bx, by = F.col("_bx"), F.col("_by")
+    build_idx = (
+        build.select(
+            F.col(build_id),
+            F.col("x").alias("_bx"),
+            F.col("y").alias("_by"),
+            *[F.col(c) for c in build_cols],
+        )
+        .withColumn(
+            "_cell",
+            F.explode(neighbor_cells(cell_x(bx, cell_res), cell_y(by, cell_res))),
+        )
+    )
+    probe_keyed = probe.select(probe_id, "x", "y").withColumn(
+        "_cell",
+        cell_x(F.col("x"), cell_res) * F.lit(1 << 31) + cell_y(F.col("y"), cell_res),
+    )
+    d2 = _dist_sq(F.col("x"), F.col("y"), bx, by)
+    return (
+        probe_keyed.join(build_idx, "_cell")
+        .withColumn("dist_sq", d2)
+        .filter(F.col("dist_sq") <= F.lit(max_dist * max_dist))
+        .drop("_cell", "_bx", "_by")
+    )
+
+
+def knn_label_fusion(
+    probe: DataFrame,
+    labeled: DataFrame,
+    k: int = 5,
+    max_dist: float = 20.0,
+    probe_id: str = "page_id",
+    build_id: str = "nb_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN label propagation (north_star: "k-nearest-neighbor label
+    fusion"): each probe row takes the MAJORITY label of its k nearest
+    labeled rows within max_dist; ties break to the smaller label, the
+    neighbor set is deterministic via (dist_sq, id) ordering. The
+    labeled side scales with the data → shuffle cell join, no
+    broadcast."""
+    cand = knn_candidates_shuffle(
+        probe, labeled, max_dist, probe_id, build_id, (label_col,)
+    )
+    w = Window.partitionBy(probe_id).orderBy("dist_sq", build_id)
+    topk = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    votes = topk.groupBy(probe_id, label_col).agg(
+        F.count("*").alias("n_votes"),
+        F.min("dist_sq").alias("_best"),
+    )
+    wv = Window.partitionBy(probe_id).orderBy(
+        F.desc("n_votes"), F.col(label_col)
+    )
+    return (
+        votes.withColumn("_r", F.row_number().over(wv))
+        .filter(F.col("_r") == 1)
+        .select(probe_id, F.col(label_col).alias("fused_label"), "n_votes")
+    )
+
+
 def nearest_match(
     probe: DataFrame,
     build: DataFrame,

@@ -805,6 +805,178 @@ def q_knn_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# kNN label fusion (north_star: cell-bucketed shuffle join, no
+# broadcast of the data-sized labeled side)
+# ----------------------------------------------------------------------
+
+
+@register(
+    "knn_label_fusion",
+    f"""
+WITH labelled AS ({_PIPELINE_ORACLE}),
+pts AS ({PAGES_CTE}),
+pos AS (
+  SELECT l.page_id, p.x, p.y, l.label
+  FROM labelled l JOIN pts p ON p.page_id = l.page_id
+),
+cand AS (
+  SELECT a.page_id, b.page_id AS nb_id, b.label,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist_sq
+  FROM pos a JOIN pos b
+    ON b.label != 0
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 400.0
+  WHERE a.label = 0
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY page_id ORDER BY dist_sq, nb_id) AS rn
+    FROM cand
+  ) WHERE rn <= 5
+),
+votes AS (
+  SELECT page_id, label, COUNT(*) AS n_votes FROM topk GROUP BY page_id, label
+)
+SELECT page_id, label AS fused_label, n_votes FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY page_id ORDER BY n_votes DESC, label) AS r
+  FROM votes
+) WHERE r = 1
+""",
+)
+def q_knn_label_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propagate pipeline labels to still-unlabelled pages by majority
+    vote of the 5 nearest labelled pages within 20 m — shuffle
+    cell-join (the labeled side scales with the data)."""
+    from .operators.neighbors import knn_label_fusion
+
+    labelled = _pipeline_df(spark, sf_dir).select("page_id", "x", "y", "label")
+    probe = labelled.filter(F.col("label") == 0)
+    build = labelled.filter(F.col("label") != 0).withColumnRenamed(
+        "page_id", "nb_id"
+    )
+    return knn_label_fusion(probe, build, k=5, max_dist=20.0)
+
+
+# ----------------------------------------------------------------------
+# Sessionization over events (gap-based sessions — window lag +
+# cumulative sum)
+# ----------------------------------------------------------------------
+
+
+@register(
+    "sessionize",
+    """
+WITH ev AS (
+  SELECT event_id, user_id, CAST(epoch(ts) AS BIGINT) AS t
+  FROM events
+),
+flagged AS (
+  SELECT event_id, user_id, t,
+         CASE WHEN t - lag(t) OVER w > 1800 OR lag(t) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+)
+SELECT event_id, user_id,
+       SUM(is_new) OVER (
+         PARTITION BY user_id ORDER BY t, event_id
+         ROWS UNBOUNDED PRECEDING) AS session_idx
+FROM flagged
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session):
+    lag → new-session flag → running sum per user."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.col("t") - F.lag("t").over(w) > 1800, F.lit(1)
+        ).otherwise(
+            F.when(F.lag("t").over(w).isNull(), F.lit(1)).otherwise(F.lit(0))
+        ),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return flagged.select(
+        "event_id", "user_id",
+        F.sum("is_new").over(wsum).alias("session_idx"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Cable growing (reference _grow_cables, cable_fuser.py:173-197):
+# attach points to the nearest cable-candidate cell within radius
+# ----------------------------------------------------------------------
+
+from .operators.pca import pca_cell_features, pca_cell_features_sql  # noqa: E402
+
+
+@register(
+    "cable_grow",
+    f"""
+WITH feats AS ({pca_cell_features_sql(PAGES_CTE, 5.0, 3).strip()}),
+cables AS (
+  SELECT cell_x, cell_y, cell_x * 100000 + cell_y AS cable_id,
+         cell_x * 5.0 + 2.5 AS cx, cell_y * 5.0 + 2.5 AS cy
+  FROM feats WHERE linearity > 0.95 AND n_points >= 5
+),
+pts AS ({PAGES_CTE}),
+outside AS (
+  SELECT p.* FROM pts p
+  LEFT JOIN cables c
+    ON CAST(floor(p.x / 5.0) AS BIGINT) = c.cell_x
+   AND CAST(floor(p.y / 5.0) AS BIGINT) = c.cell_y
+  WHERE c.cable_id IS NULL
+),
+cand AS (
+  SELECT o.page_id, c.cable_id,
+         (o.x - c.cx) * (o.x - c.cx) + (o.y - c.cy) * (o.y - c.cy) AS dist_sq
+  FROM outside o JOIN cables c
+    ON (o.x - c.cx) * (o.x - c.cx) + (o.y - c.cy) * (o.y - c.cy) <= 100.0
+)
+SELECT page_id, cable_id, dist_sq FROM (
+  SELECT *, row_number() OVER (PARTITION BY page_id ORDER BY dist_sq, cable_id) AS rn
+  FROM cand
+) WHERE rn = 1
+""",
+)
+def q_cable_grow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One frontier-expansion step: points outside candidate cells
+    attach to the nearest cable-candidate center within 10 m
+    (deterministic tie-break)."""
+    from .operators.neighbors import nearest_match
+
+    pages = pages_from_orders(spark, sf_dir)
+    feats = pca_cell_features(pages, 5.0, 3)
+    cables = feats.filter(
+        (F.col("linearity") > 0.95) & (F.col("n_points") >= 5)
+    ).select(
+        "cell_x", "cell_y",
+        (F.col("cell_x") * F.lit(100000) + F.col("cell_y")).alias("cable_id"),
+        (F.col("cell_x") * 5.0 + 2.5).alias("x"),
+        (F.col("cell_y") * 5.0 + 2.5).alias("y"),
+    )
+    keyed = pages.withColumns(
+        {
+            "cell_x": F.floor(F.col("x") / 5.0).cast("long"),
+            "cell_y": F.floor(F.col("y") / 5.0).cast("long"),
+        }
+    )
+    outside = keyed.join(
+        cables.select("cell_x", "cell_y"), ["cell_x", "cell_y"], "left_anti"
+    )
+    matched = nearest_match(
+        outside, cables.select("cable_id", "x", "y"),
+        max_dist=10.0, build_id="cable_id", build_cols=(),
+    )
+    return matched.select("page_id", "cable_id", "dist_sq")
+
+
+# ----------------------------------------------------------------------
 # CRS conversion + hierarchical cells (reference rd_converter.py:43-95;
 # north_star H3/S2 encode)
 # ----------------------------------------------------------------------
