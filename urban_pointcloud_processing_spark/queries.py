@@ -276,6 +276,34 @@ def q_pipeline_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "label_stats_pct",
+    f"""
+WITH labelled AS ({_PIPELINE_ORACLE}),
+tot AS (SELECT COUNT(*) AS t FROM labelled)
+SELECT label, COUNT(*) AS n_points,
+       CAST(floor(COUNT(*) * 10000.0 / (SELECT t FROM tot)) AS BIGINT)
+         AS pct_e2
+FROM labelled GROUP BY label
+""",
+)
+def q_label_stats_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label statistics with percentages (reference
+    analysis_tools.get_label_stats + pipeline.py:135-136); the
+    percentage is ×100-quantized (floor) for cross-engine exactness."""
+    labelled = _pipeline_df(spark, sf_dir)
+    total = labelled.count()
+    return (
+        labelled.groupBy("label")
+        .agg(F.count("*").alias("n_points"))
+        .withColumn(
+            "pct_e2",
+            F.floor(F.col("n_points") * F.lit(10000.0) / F.lit(float(total)))
+            .cast("long"),
+        )
+    )
+
+
+@register(
     "label_histogram",
     f"WITH labelled AS ({_PIPELINE_ORACLE}) "
     "SELECT label, COUNT(*) AS n_points FROM labelled GROUP BY label",
