@@ -1262,6 +1262,17 @@ def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_stats(_ground_with_comp(spark, sf_dir))
 
 
+@register("cluster_morphology")  # grouped-map NumPy: rows-only check
+def q_cluster_morphology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voxel morphology per ground component (reference armatuur search,
+    cable_fuser.py:576-673): occupancy close (dilate+erode) → region
+    labelling → per-region voxel counts/extents. Pure-NumPy kernels
+    validated in tests/test_morphology.py."""
+    from .operators.morphology import cluster_morphology
+
+    return cluster_morphology(_ground_with_comp(spark, sf_dir), voxel=1.0)
+
+
 @register("cluster_mbr")  # grouped-map MBR: no SQL oracle (rows-only)
 def q_cluster_mbr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rotating-calipers minimum bounding rectangle per component
