@@ -714,6 +714,70 @@ def q_clip_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("page_id")
 
 
+@register(
+    "clip_cylinder",
+    f"""
+WITH pts AS ({PAGES_CTE})
+SELECT page_id FROM pts
+WHERE (x - 119325.0) * (x - 119325.0) + (y - 485125.0) * (y - 485125.0)
+      <= 400.0
+  AND z >= 1.0 AND z <= 9.0
+""",
+)
+def q_clip_cylinder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cylinder_clip predicate (reference clip_utils.py:92-116):
+    r=20 m cylinder about the demo-tile center between z 1..9."""
+    from .functions.clip import cylinder_clip
+
+    pages = pages_from_orders(spark, sf_dir)
+    return pages.filter(
+        cylinder_clip(
+            F.col("x"), F.col("y"), F.col("z"),
+            119325.0, 485125.0, 20.0, 1.0, 9.0,
+        )
+    ).select("page_id")
+
+
+@register(
+    "noise_filter",
+    f"""
+WITH RECURSIVE {_CC_BASE},
+assign AS (
+  SELECT g.page_id, c.component
+  FROM ground g JOIN comp c ON g.cx * 2147483648 + g.cy = c.cell
+),
+sizes AS (SELECT component, COUNT(*) AS n FROM assign GROUP BY component),
+small AS (
+  SELECT a.page_id FROM assign a JOIN sizes s ON s.component = a.component
+  WHERE s.n < 5
+)
+SELECT p.page_id,
+       (sm.page_id IS NOT NULL OR p.z - {_GZ} < -0.2) AS is_noise
+FROM pts p LEFT JOIN small sm ON sm.page_id = p.page_id
+WHERE (sm.page_id IS NOT NULL OR p.z - {_GZ} < -0.2)
+""",
+)
+def q_noise_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete NoiseFilter (reference noise_filter.py:15-84): a point
+    is noise if its ground-band component is too small (< 5 points,
+    component == −1 after the size filter, :66-67) OR it lies below the
+    interpolated ground (z − ground_z < −ε, :72-74)."""
+    pages = pages_from_orders(spark, sf_dir)
+    enriched = R.with_raster(pages, R.raster_df(spark))
+    small = (
+        q_component_size_filter(spark, sf_dir)
+        .filter(F.col("component") == -1)
+        .select("page_id")
+        .withColumn("_small", F.lit(True))
+    )
+    flagged = enriched.join(small, "page_id", "left").withColumn(
+        "is_noise",
+        F.coalesce(F.col("_small"), F.lit(False))
+        | (F.col("z") - F.col("ground_z") < F.lit(-0.2)),
+    )
+    return flagged.filter(F.col("is_noise")).select("page_id", "is_noise")
+
+
 # ----------------------------------------------------------------------
 # Component size filter + seed-threshold region fill (reference
 # label_connected_comp.py:92-135) and kNN-max surface
