@@ -53,6 +53,10 @@ HEADLINE = [
     "cosine_topk",
     "ann_lsh_topk",
     "media_features",
+    "pca_linearity",
+    "geocode_wgs84",
+    "knn_label_fusion",
+    "raster_build",
 ]
 
 # Queries timed for the scaling ratio: the flagship spatial-join +

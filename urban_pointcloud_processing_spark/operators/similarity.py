@@ -98,35 +98,86 @@ def _cosine(pref_a: str, pref_b: str) -> Column:
     )
 
 
+def _seq_dot_matrix(Q, V):
+    """(nq, nv) dot-product matrix accumulated in DIMENSION ORDER —
+    per-pair float accumulation identical to the oracle's
+    list_reduce fold (and to dot_expr)."""
+    import numpy as np
+
+    acc = np.zeros((Q.shape[0], V.shape[0]), dtype=np.float64)
+    for i in range(Q.shape[1]):
+        acc = acc + Q[:, i : i + 1] * V[None, :, i]
+    return acc
+
+
+def _py_round9(m):
+    """Decimal-style round-half-away at 9 dp matching Spark F.round /
+    DuckDB round (np.round is half-even — differs at exact ties)."""
+    import numpy as np
+
+    return np.sign(m) * np.floor(np.abs(m) * 1e9 + 0.5) / 1e9
+
+
 def cosine_topk(
     emb: DataFrame, k: int = 10, query_mod: int = 50
 ) -> DataFrame:
     """Brute-force exact top-k by cosine for query vectors
-    (vec_id % query_mod == 0). Query side is tiny → broadcast; the full
-    table is scanned once. Deterministic (cosine desc, vec_id) order."""
-    base = _with_norm(emb)
-    queries = base.filter(F.col("vec_id") % query_mod == 0)
-    pairs = (
-        F.broadcast(
-            queries.select(
-                F.col("vec_id").alias("query_id"),
-                F.col("embedding").alias("q_emb"),
-                F.col("_norm").alias("q_norm"),
-            )
-        )
-        .join(base, F.col("vec_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                dot_udf()(F.col("q_emb"), F.col("embedding"))
-                / (F.col("q_norm") * F.col("_norm")),
-                9,
-            ),
-        )
+    (vec_id % query_mod == 0). The tiny query matrix is collected into
+    the mapInPandas closure (a broadcast, not a join), so the corpus is
+    scanned ONCE with no pair materialization: each Arrow batch emits
+    only its per-query local top-k; a final window over nq×k rows per
+    partition picks the global top-k. Deterministic (cosine desc,
+    vec_id) order; dot folds in dimension order → bit-identical to the
+    oracle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
     )
+
+    qrows = sorted(
+        emb.filter(F.col("vec_id") % query_mod == 0)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    qn = np.sqrt(_seq_dot_matrix(Q, Q).diagonal())
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("vec_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            vn = np.sqrt(_seq_dot_matrix(V, V).diagonal())
+            cos = _py_round9(_seq_dot_matrix(Q, V) / (qn[:, None] * vn[None, :]))
+            rows = {"query_id": [], "vec_id": [], "cosine": []}
+            for qi in range(len(qids)):
+                c = cos[qi].copy()
+                c[vids == qids[qi]] = -np.inf  # exclude self
+                # local top-k with (cosine desc, vec_id asc) tie-break
+                order = np.lexsort((vids, -c))[:k]
+                for j in order:
+                    if np.isfinite(c[j]):
+                        rows["query_id"].append(int(qids[qi]))
+                        rows["vec_id"].append(int(vids[j]))
+                        rows["cosine"].append(float(c[j]))
+            yield pd.DataFrame(rows)
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(gen, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )

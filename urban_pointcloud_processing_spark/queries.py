@@ -916,7 +916,7 @@ cand AS (
          (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist_sq
   FROM pos a JOIN pos b
     ON b.label != 0
-   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 400.0
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 4.0
   WHERE a.label = 0
 ),
 topk AS (
@@ -937,8 +937,10 @@ SELECT page_id, label AS fused_label, n_votes FROM (
 )
 def q_knn_label_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Propagate pipeline labels to still-unlabelled pages by majority
-    vote of the 5 nearest labelled pages within 20 m — shuffle
-    cell-join (the labeled side scales with the data)."""
+    vote of the 5 nearest labelled pages within 2 m — shuffle
+    cell-join (the labeled side scales with the data; the radius is
+    sized to the fixture's ~7 pages/m² density so per-probe candidate
+    sets stay bounded)."""
     from .operators.neighbors import knn_label_fusion
 
     labelled = _pipeline_df(spark, sf_dir).select("page_id", "x", "y", "label")
@@ -946,7 +948,7 @@ def q_knn_label_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     build = labelled.filter(F.col("label") != 0).withColumnRenamed(
         "page_id", "nb_id"
     )
-    return knn_label_fusion(probe, build, k=5, max_dist=20.0)
+    return knn_label_fusion(probe, build, k=5, max_dist=2.0)
 
 
 # ----------------------------------------------------------------------
