@@ -1575,6 +1575,77 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .sources.layers import road_strips_values_sql, roads_meta_df  # noqa: E402
+
+
+@register(
+    "car_fuser",
+    f"""
+WITH RECURSIVE {_CC_BASE},
+{_CLUSTER_ASSIGN_CTE},
+stats AS ({cluster_stats_sql('assign')}),
+dims AS (
+  SELECT component, n_points,
+         x_min - 0.5 AS x0, x_max + 0.5 AS x1,
+         y_min - 0.5 AS y0, y_max + 0.5 AS y1
+  FROM stats
+  WHERE x_max - x_min <= 20.0 AND y_max - y_min <= 20.0
+),
+overlap AS (
+  SELECT d.component, d.n_points,
+         SUM(GREATEST(0.0, LEAST(d.x1, r.rx1) - GREATEST(d.x0, r.rx0))
+           * GREATEST(0.0, LEAST(d.y1, r.ry1) - GREATEST(d.y0, r.ry0)))
+           / ((d.x1 - d.x0) * (d.y1 - d.y0)) * 100.0 AS road_pct
+  FROM dims d JOIN {road_strips_values_sql()}
+    ON r.rx0 < d.x1 AND r.rx1 > d.x0
+   AND r.ry0 < d.y1 AND r.ry1 > d.y0
+  GROUP BY d.component, d.n_points, d.x0, d.x1, d.y0, d.y1
+)
+SELECT component, n_points, road_pct, 40 AS label
+FROM overlap WHERE road_pct > 20.0
+""",
+)
+def q_car_fuser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CarFuser composite (reference car_fuser.py:18-137): ground-band
+    components passing the dimension window whose footprint overlaps
+    the road layer by > 20% get the CAR label. Overlap uses the
+    cluster's axis-aligned extent vs the (axis-aligned) road strips —
+    exact rectangle-intersection areas, no geometry lib."""
+    stats = cluster_stats(_ground_with_comp(spark, sf_dir))
+    ext_x = F.col("x_max") - F.col("x_min")
+    ext_y = F.col("y_max") - F.col("y_min")
+    # footprint = bbox padded by the half-cell each point occupies
+    # (singleton clusters still have a 1 m^2 footprint)
+    dims = stats.filter((ext_x <= 20.0) & (ext_y <= 20.0)).select(
+        "component", "n_points",
+        (F.col("x_min") - 0.5).alias("x0"), (F.col("x_max") + 0.5).alias("x1"),
+        (F.col("y_min") - 0.5).alias("y0"), (F.col("y_max") + 0.5).alias("y1"),
+    )
+    roads = roads_meta_df(spark)
+    cond = (
+        (F.col("rx0") < F.col("x1")) & (F.col("rx1") > F.col("x0"))
+        & (F.col("ry0") < F.col("y1")) & (F.col("ry1") > F.col("y0"))
+    )
+    ia = (
+        F.greatest(F.lit(0.0), F.least("x1", "rx1") - F.greatest("x0", "rx0"))
+        * F.greatest(F.lit(0.0), F.least("y1", "ry1") - F.greatest("y0", "ry0"))
+    )
+    overlap = (
+        dims.join(F.broadcast(roads), cond)
+        .groupBy("component", "n_points", "x0", "x1", "y0", "y1")
+        .agg(F.sum(ia).alias("_inter"))
+        .withColumn(
+            "road_pct",
+            F.col("_inter")
+            / ((F.col("x1") - F.col("x0")) * (F.col("y1") - F.col("y0")))
+            * F.lit(100.0),
+        )
+    )
+    return overlap.filter(F.col("road_pct") > 20.0).select(
+        "component", "n_points", "road_pct", F.lit(40).alias("label")
+    )
+
+
 # ----------------------------------------------------------------------
 # Frame-spec window stencil (reference _compute_saggign_angle,
 # cable_fuser.py:565-574: value at i compares z[i−d] and z[i+d])

@@ -235,3 +235,28 @@ def line_segments_values_sql() -> str:
         for (t, lid, j, x1, y1, x2, y2) in line_segments()
     )
     return f"(VALUES {rows}) AS s({', '.join(SEGMENT_COLS)})"
+
+
+def road_strips() -> list[tuple]:
+    """Axis-aligned road-strip rectangles (rid, rx0, ry0, rx1, ry1) —
+    the road layer's bboxes equal the polygons exactly (the strips are
+    axis-aligned), so rectangle-intersection areas are exact."""
+    return [
+        (p["polygon_id"], p["x_min"], p["y_min"], p["x_max"], p["y_max"])
+        for p in polygon_layer()
+        if p["layer"] == "roads"
+    ]
+
+
+def roads_meta_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        road_strips(), schema=["rid", "rx0", "ry0", "rx1", "ry1"]
+    )
+
+
+def road_strips_values_sql() -> str:
+    rows = ", ".join(
+        f"({rid}, {rx0!r}, {ry0!r}, {rx1!r}, {ry1!r})"
+        for rid, rx0, ry0, rx1, ry1 in road_strips()
+    )
+    return f"(VALUES {rows}) AS r(rid, rx0, ry0, rx1, ry1)"
