@@ -1070,6 +1070,39 @@ def q_cable_grow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matched.select("page_id", "cable_id", "dist_sq")
 
 
+@register("cable_merge")  # fixpoint grouped-map merge: rows-only check
+def q_cable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cable-cluster merging (reference _cable_merging,
+    cable_fuser.py:333-389): high-linearity cells become clusters;
+    pairs with aligned directions, close endpoints and a passing
+    small-sag (parabola) fit merge to fixpoint. Semantics validated on
+    constructed cables in tests/test_cable_merge.py. Single group at
+    test scale; group per tile at production scale."""
+    from .operators.cable_merge import merge_cables
+
+    pages = pages_from_orders(spark, sf_dir)
+    feats = pca_cell_features(pages, 5.0, 3)
+    cables = feats.filter(
+        (F.col("linearity") > 0.9) & (F.col("n_points") >= 4)
+    ).select("cell_x", "cell_y")
+    members = (
+        pages.withColumns(
+            {
+                "cell_x": F.floor(F.col("x") / 5.0).cast("long"),
+                "cell_y": F.floor(F.col("y") / 5.0).cast("long"),
+            }
+        )
+        .join(F.broadcast(cables), ["cell_x", "cell_y"])
+        .select(
+            (F.col("cell_x") * F.lit(100000) + F.col("cell_y")).alias(
+                "cluster_id"
+            ),
+            "x", "y", "z",
+        )
+    )
+    return merge_cables(members, group_col=None)
+
+
 # ----------------------------------------------------------------------
 # CRS conversion + hierarchical cells (reference rd_converter.py:43-95;
 # north_star H3/S2 encode)
