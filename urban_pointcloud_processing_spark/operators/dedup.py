@@ -354,17 +354,23 @@ def simhash_neardup(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> 
         F.col("bv.blk").alias("blk"), F.col("bv.val").alias("val"),
     )
     a, b = blocks.alias("a"), blocks.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    # a pair matching on several blocks would be emitted once per block;
+    # instead of a distinct over the duplicated pairs (4× shuffle), keep
+    # a pair only at its FIRST equal block — computable from the XOR:
+    first_eq = F.lit(SIMHASH_BLOCKS)
+    for i in reversed(range(SIMHASH_BLOCKS)):
+        nib = F.shiftright(xor, i * block_w).bitwiseAND(F.lit((1 << block_w) - 1))
+        first_eq = F.when(nib == 0, F.lit(i)).otherwise(first_eq)
     return (
         a.join(b, ["blk", "val"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(first_eq == F.col("blk"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.bit_count(xor).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= F.lit(max_hamming))
     )
 
