@@ -77,11 +77,15 @@ def test_simhash_pigeonhole_matches_bruteforce(spark):
     df = _docs(spark, texts)
     got = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
-        for r in simhash_neardup(df, max_hamming=16).collect()
+        for r in simhash_neardup(df, max_hamming=5).collect()
     }
-    # exact recall at max_hamming = blocks-1 * block_width bound:
     # identical docs must appear with hamming 0
     assert got[(0, 1)] == 0
+    # unsupported bounds fail loudly instead of silently losing recall
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simhash_neardup(df, max_hamming=6)
     # pigeonhole candidates at the default bound never miss pairs with
     # hamming <= 3 — verified against the all-pairs set
     tight = {

@@ -238,7 +238,10 @@ def grid_components_two_level(
     # a DIFFERENT block → (root_a, root_b)
     border = local.filter(F.col("border")).select(
         "cell", "root", "bx", "by",
-        (F.col("cell") / F.lit(PAIR)).cast("long").alias("cx"),
+        # floor-division decode (PAIR is a power of two so the double
+        # quotient is exact): (cell / PAIR).cast('long') truncates toward
+        # zero and mis-decodes negative cx, pairing wrong with pmod.
+        F.floor(F.col("cell") / F.lit(PAIR)).cast("long").alias("cx"),
         F.pmod(F.col("cell"), F.lit(PAIR)).alias("cy"),
     )
     a = border.select(

@@ -38,9 +38,32 @@ from ..functions.text import (
 MINHASH_K = 16
 LSH_BANDS = 4
 LSH_ROWS = MINHASH_K // LSH_BANDS
-SIMHASH_BITS = 16
+# 60-bit simhash: wide enough that pigeonhole blocks are selective
+# (15-bit blocks = 32768 bucket values at d=3, vs 16 values with the
+# old 16-bit/4-bit layout whose block joins degenerated toward n²/16),
+# while staying strictly positive in a signed i64 on BOTH engines —
+# Spark shiftright and DuckDB >> are arithmetic shifts, so a sign bit
+# would corrupt block extraction. 60 = 2·2·3·5 keeps exact even splits
+# for every supported max_hamming in {1,2,3,4,5}.
+SIMHASH_BITS = 60
 SIMHASH_MAX_HAMMING = 3
-SIMHASH_BLOCKS = SIMHASH_MAX_HAMMING + 1
+
+
+def simhash_blocks(max_hamming: int) -> tuple[int, int]:
+    """(n_blocks, block_width) for the pigeonhole candidate join.
+
+    hamming(a,b) ≤ d over BITS bits ⇒ a,b are equal on ≥1 of (d+1)
+    equal-width blocks — EXACT recall. The block count is derived from
+    max_hamming (not hard-wired) so a larger d never silently loses
+    recall; unsupported d (uneven split) fails loudly."""
+    blocks = max_hamming + 1
+    if SIMHASH_BITS % blocks != 0:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {blocks} equal pigeonhole "
+            f"blocks but {SIMHASH_BITS} bits do not split evenly; "
+            f"supported max_hamming: 1,2,3,4,5"
+        )
+    return blocks, SIMHASH_BITS // blocks
 
 
 def _const(i: int, salt: int) -> int:
@@ -286,7 +309,7 @@ WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= {thresh
 # ----------------------------------------------------------------------
 
 def simhash(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash) — 16-bit token-multiplicity simhash."""
+    """(doc_id, simhash) — 60-bit token-multiplicity simhash."""
     toks = docs.select(
         "doc_id", F.explode(tokens_expr(F.col("text"))).alias("tok")
     ).withColumn("th", str_hash_udf()(F.col("tok")))
@@ -329,10 +352,11 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM sums
 
 def simhash_neardup(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
     """(doc_a, doc_b, hamming ≤ max_hamming) — pigeonhole block join:
-    hamming ≤ d ⇒ equal on ≥1 of d+1 4-bit blocks, so candidates are
-    (d+1) equi-joins, exact recall, no cross join."""
+    hamming ≤ d ⇒ equal on ≥1 of the (d+1) equal-width blocks, so
+    candidates are (d+1) equi-joins, exact recall, no cross join.
+    Block count derives from max_hamming; width = 60/(d+1) bits."""
+    n_blocks, block_w = simhash_blocks(max_hamming)
     sh = simhash(docs)
-    block_w = SIMHASH_BITS // SIMHASH_BLOCKS
     blocks = sh.select(
         "doc_id",
         "simhash",
@@ -345,7 +369,7 @@ def simhash_neardup(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> 
                         .bitwiseAND(F.lit((1 << block_w) - 1))
                         .alias("val"),
                     )
-                    for i in range(SIMHASH_BLOCKS)
+                    for i in range(n_blocks)
                 ]
             )
         ).alias("bv"),
@@ -356,12 +380,14 @@ def simhash_neardup(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> 
     a, b = blocks.alias("a"), blocks.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     # a pair matching on several blocks would be emitted once per block;
-    # instead of a distinct over the duplicated pairs (4× shuffle), keep
-    # a pair only at its FIRST equal block — computable from the XOR:
-    first_eq = F.lit(SIMHASH_BLOCKS)
-    for i in reversed(range(SIMHASH_BLOCKS)):
-        nib = F.shiftright(xor, i * block_w).bitwiseAND(F.lit((1 << block_w) - 1))
-        first_eq = F.when(nib == 0, F.lit(i)).otherwise(first_eq)
+    # instead of a distinct over the duplicated pairs (n_blocks× shuffle),
+    # keep a pair only at its FIRST equal block — computable from the XOR:
+    first_eq = F.lit(n_blocks)
+    for i in reversed(range(n_blocks)):
+        blk_bits = F.shiftright(xor, i * block_w).bitwiseAND(
+            F.lit((1 << block_w) - 1)
+        )
+        first_eq = F.when(blk_bits == 0, F.lit(i)).otherwise(first_eq)
     return (
         a.join(b, ["blk", "val"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))

@@ -59,13 +59,26 @@ class PipEnricher:
       expression overflows the JIT method budget and interprets.
     - ``join``: one shared candidate-pair pass + join-back
       (pip_flags_multi) — for layers too large to broadcast at all.
+
+    Polygon inputs: ``pandas``/``expr`` compute from the ``polys`` ring
+    list (the broadcastable layer geometry — defaults to the fixture
+    ``polygon_layer()``); ``join`` computes from the ``edges``
+    DataFrame. A caller supplying a filtered or alternate polygon set
+    must pass it via ``polys`` (map-only strategies) or use
+    ``strategy='join'`` — ``edges`` is NOT consulted by the map-only
+    paths.
     """
 
-    def __init__(self, edges: DataFrame, flag_types: dict[str, list[str]],
-                 strategy: str = "pandas"):
+    def __init__(self, edges: DataFrame | None, flag_types: dict[str, list[str]],
+                 strategy: str = "pandas", polys: list[dict] | None = None):
+        if polys is None and strategy in ("pandas", "local", "expr"):
+            from ..sources.layers import polygon_layer
+
+            polys = polygon_layer()
         self.edges = edges
         self.flag_types = flag_types
         self.strategy = strategy
+        self.polys = polys
 
     def __call__(self, pages: DataFrame) -> DataFrame:
         from ..functions.pip import pip_flag_expr, pip_flags_multi
@@ -77,9 +90,8 @@ class PipEnricher:
             return pages
         if self.strategy in ("pandas", "local", "expr"):
             from ..functions.pip import pip_flag_pandas_udf
-            from ..sources.layers import polygon_layer
 
-            polys = polygon_layer()
+            polys = self.polys
             if self.strategy == "expr":
                 return pages.withColumns(
                     {

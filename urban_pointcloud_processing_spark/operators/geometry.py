@@ -52,8 +52,8 @@ def cluster_stats_sql(assign_cte: str = "assign") -> str:
 SELECT component, COUNT(*) AS n_points,
        MIN(x) AS x_min, MAX(x) AS x_max,
        MIN(y) AS y_min, MAX(y) AS y_max,
-       SUM(CAST(round(x * 1000.0) AS BIGINT)) AS sum_x_mm,
-       SUM(CAST(round(y * 1000.0) AS BIGINT)) AS sum_y_mm
+       CAST(SUM(CAST(round(x * 1000.0) AS BIGINT)) AS BIGINT) AS sum_x_mm,
+       CAST(SUM(CAST(round(y * 1000.0) AS BIGINT)) AS BIGINT) AS sum_y_mm
 FROM {assign_cte} GROUP BY component
 """
 

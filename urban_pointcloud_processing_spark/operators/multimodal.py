@@ -106,14 +106,17 @@ def media_features(media: DataFrame, frame_stride: int = 24) -> DataFrame:
         for pdf in batches:
             payloads = pdf["payload"]
             n_bytes = payloads.map(len).astype("int64")
-            # exact integer byte-sum, single final division → the oracle
-            # (sequential integer fold) reproduces this bit-for-bit
+            # exact integer byte-sum + integer floor-e6 quantization →
+            # both engines derive the same double from the same BIGINT
+            # (python round() is half-even; DuckDB round() is half-away —
+            # floor-e6 sidesteps the convention mismatch entirely)
             byte_mean = payloads.map(
-                lambda b: round(
+                lambda b: (
                     int(np.frombuffer(b, dtype=np.uint8).sum(dtype=np.int64))
-                    / len(b),
-                    6,
+                    * 1_000_000
+                    // len(b)
                 )
+                / 1e6
                 if len(b)
                 else 0.0
             )
@@ -148,10 +151,11 @@ WITH media AS (
 )
 SELECT doc_id, media_type,
        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-       round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
              list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
-             (a, b) -> a + b) AS DOUBLE)
-           / octet_length(CAST(text AS BLOB)), 6) AS byte_mean,
+             (a, b) -> a + b) * 1000000
+           // octet_length(CAST(text AS BLOB)) AS DOUBLE) / 1000000.0
+         AS byte_mean,
        CAST(CASE WHEN length(text) = 0 THEN -1 ELSE ord(text[1]) END AS INT)
          AS first_byte,
        CAST((n_frames + {frame_stride} - 1) // {frame_stride} AS INT)

@@ -233,6 +233,104 @@ WHERE round({dot} / (a.nrm * b.nrm), 9) >= {threshold}
 """
 
 
+def cosine_neardup_lsh(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Scale path for near-dup pairs: candidates come from the
+    hyperplane-LSH band equi-join (share ≥1 of 4 signature bands), then
+    exact cosine verification — never a cross join. Sub-quadratic as
+    long as band buckets stay bounded, the same shape as minhash_lsh.
+
+    Recall vs the exact all-pairs variant: a pair at cosine ≥ 0.9
+    (angle ≤ 25.8°) collides on one fixed 4-bit band with prob
+    (1-θ/π)^4 ≈ 0.53, and ≥1 of 4 bands ≈ 0.95; candidates are
+    deterministic (fixed integer hyperplanes) so the oracle reproduces
+    the SAME candidate set and the result is value-exact."""
+    base = _with_norm(emb).withColumn(
+        "sig", hp_signature_udf()(F.col("embedding"))
+    )
+    band_w = HP_BITS // HP_BANDS
+    bands = base.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("sig"), i * band_w)
+                        .bitwiseAND(F.lit((1 << band_w) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(HP_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("vec_id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    # candidate ids only (8-byte rows through the shuffle); embeddings
+    # re-attach after the distinct
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    va = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("_norm").alias("norm_a"),
+    )
+    vb = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("_norm").alias("norm_b"),
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_udf()(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                9,
+            ),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def cosine_neardup_lsh_sql(threshold: float = 0.9) -> str:
+    band_w = HP_BITS // HP_BANDS
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {i} AS band, "
+        f"(sig >> {i * band_w}) & {(1 << band_w) - 1} AS val FROM sigs"
+        for i in range(HP_BANDS)
+    )
+    dot = dot_sql("va.embedding", "vb.embedding")
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm FROM embeddings
+),
+sigs AS (
+  SELECT vec_id, {hp_signature_sql('embedding')} AS sig FROM base
+),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       round({dot} / (va.nrm * vb.nrm), 9) AS cosine
+FROM cand c
+JOIN base va ON va.vec_id = c.vec_a
+JOIN base vb ON vb.vec_id = c.vec_b
+WHERE round({dot} / (va.nrm * vb.nrm), 9) >= {threshold}
+"""
+
+
 # ----------------------------------------------------------------------
 # Hyperplane LSH — the ANN scale path
 # ----------------------------------------------------------------------
@@ -321,7 +419,7 @@ def ann_lsh_topk(
     )
     band_w = HP_BITS // HP_BANDS
     bands = base.select(
-        "vec_id", "embedding", "_norm",
+        "vec_id",
         F.explode(
             F.array(
                 *[
@@ -336,21 +434,30 @@ def ann_lsh_topk(
             )
         ).alias("bv"),
     ).select(
-        "vec_id", "embedding", "_norm",
+        "vec_id",
         F.col("bv.band").alias("band"), F.col("bv.val").alias("val"),
     )
     queries = bands.filter(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("_norm").alias("q_norm"),
-        "band", "val",
+        F.col("vec_id").alias("query_id"), "band", "val"
     )
-    cand = (
+    # dedup candidate PAIRS (two longs per row through the shuffle),
+    # THEN re-attach the embedding arrays — same result, a fraction of
+    # the distinct's shuffle bytes vs deduping rows carrying vectors
+    cand_ids = (
         F.broadcast(queries)
         .join(bands, ["band", "val"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "q_emb", "q_norm", "vec_id", "embedding", "_norm")
+        .select("query_id", "vec_id")
         .distinct()
+    )
+    qvec = base.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
+    ).filter(F.col("query_id") % query_mod == 0)
+    cand = (
+        cand_ids.join(F.broadcast(qvec), "query_id")
+        .join(base, "vec_id")
         .withColumn(
             "cosine",
             F.round(

@@ -610,14 +610,15 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("simhash", D.simhash_sql())
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document (token-multiplicity weighted)."""
+    """60-bit SimHash per document (token-multiplicity weighted)."""
     return D.simhash(_docs(spark, sf_dir))
 
 
 @register("simhash_neardup", D.simhash_neardup_sql())
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamming ≤ 3 SimHash pairs via the pigeonhole 4-block equi-join
-    (exact recall; the oracle brute-forces the same answer)."""
+    """Hamming ≤ 3 SimHash pairs via the pigeonhole 4×15-bit-block
+    equi-join (exact recall, 32768-value buckets; the oracle
+    brute-forces the same answer)."""
     return D.simhash_neardup(_docs(spark, sf_dir))
 
 
@@ -639,6 +640,15 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings are near-random — max pairwise cosine ≈ 0.48 — so 0.35
     exercises the threshold join with a non-trivial result set)."""
     return S.cosine_neardup(_embs(spark, sf_dir), 0.35)
+
+
+@register("cosine_neardup_lsh", S.cosine_neardup_lsh_sql(0.35))
+def q_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for cosine near-dup: hyperplane-LSH band equi-join
+    candidates + exact verification — sub-quadratic, never a cross
+    join. Deterministic planes → the oracle reproduces the identical
+    candidate set, so values compare exactly."""
+    return S.cosine_neardup_lsh(_embs(spark, sf_dir), 0.35)
 
 
 @register("ann_lsh_topk", S.ann_lsh_topk_sql(10, 50))
@@ -971,9 +981,9 @@ flagged AS (
   FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
 )
 SELECT event_id, user_id,
-       SUM(is_new) OVER (
+       CAST(SUM(is_new) OVER (
          PARTITION BY user_id ORDER BY t, event_id
-         ROWS UNBOUNDED PRECEDING) AS session_idx
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
 FROM flagged
 """,
 )
