@@ -1,0 +1,418 @@
+"""RegionGrowing: seeded surface growth gated by normal angle + curvature.
+
+Reference: src/upcp/region_growing/region_growing.py:15-170 — BFS from
+seed-labelled points; a neighbor joins the region when the angle between
+its normal and the expanding seed's normal is below ``threshold_angle``
+(:121-127), and itself becomes a seed when its local curvature
+(λ_min/Σλ of the neighborhood covariance, :60-75) is below
+``threshold_curve`` (:130-137). Used by the building/light/sign/tree
+grower stages of the canonical pipeline.
+
+Spark-first re-expression (voxel-level, like the rest of the engine):
+
+1. Points quantize to voxels; per-voxel surface NORMAL comes from the
+   least-squares plane z = a·x + b·y + c over the voxel's points, and
+   CURVATURE is the unexplained-variance fraction
+   (Czz − explained)/(Cxx+Cyy+Czz) — the planar-residual analog of the
+   reference's λ_min/Σλ. Both are closed-form RATIONAL functions of
+   exact integer millimetre moments (two-pass centered sums like
+   operators/pca.py), so Spark and the DuckDB oracle produce
+   bit-identical doubles — no eigen-solver, no libm calls. The normal
+   is kept unnormalized, N ∝ (−(CxzCyy−CyzCxy), −(CyzCxx−CxzCxy), det),
+   det = CxxCyy−Cxy² > 0 ⇒ Nz > 0, so there is no sign ambiguity.
+2. The reference's per-seed angle test is order-independent reachability
+   (a failed test does not mark a point processed, :117-127), so region
+   growth is exactly: connected components over the "capable" subgraph
+   (curvature < threshold, or an initial seed) with edges gated by
+   angle(Na, Nb) < threshold_angle — evaluated as
+   dot > 0 AND dot² > cos²θ·|Na|²·|Nb|² (pure products, no acos) —
+   plus ONE final frontier expansion for accepted-but-not-seed voxels.
+   CC runs as the iterative min-label + pointer-jumping DataFrame loop
+   (O(log diameter) rounds, checkpointed frontiers), the same machinery
+   as operators/components.py.
+
+Scale notes (100 TB): the point→voxel aggregation is a map-side partial
+agg on the voxel key; everything after operates on the voxel table
+(orders of magnitude smaller). The 26-neighbor edge build is an
+explode + equi-join on the linear voxel key. Integer moments stay exact
+for ≤ ~10⁴ points per voxel at 5 m voxels (documented bound — pick the
+voxel size so counts stay bounded; beyond that moments degrade to
+double precision, not wrong components).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHIFT = 1 << 17  # voxel key packing: ((vx*SHIFT)+vy)*SHIFT+vz
+
+DEFAULT_VOXEL = 5.0
+DEFAULT_ANGLE_DEG = 20.0  # reference default threshold_angle=20
+DEFAULT_CURVE = 0.05
+DEFAULT_MIN_POINTS = 4
+
+_OFFSETS = [
+    (dx, dy, dz)
+    for dx in (-1, 0, 1)
+    for dy in (-1, 0, 1)
+    for dz in (-1, 0, 1)
+    if not (dx == 0 and dy == 0 and dz == 0)
+]
+
+
+def cos2_threshold(angle_deg: float) -> float:
+    """cos²(threshold) as a Python double — the SAME literal is embedded
+    in the Spark plan and the oracle SQL, so the gate compares against
+    an identical constant on both engines."""
+    return math.cos(math.radians(angle_deg)) ** 2
+
+
+def _mm(c):
+    return F.round(c * F.lit(1000.0)).cast("long")
+
+
+def _with_voxels(points: DataFrame, voxel: float) -> DataFrame:
+    vx = F.floor(F.col("x") / F.lit(voxel)).cast("long")
+    vy = F.floor(F.col("y") / F.lit(voxel)).cast("long")
+    vz = F.floor(F.col("z") / F.lit(voxel)).cast("long")
+    return points.withColumns(
+        {
+            "vx": vx,
+            "vy": vy,
+            "vz": vz,
+        }
+    ).withColumn(
+        "vcell",
+        (F.col("vx") * F.lit(SHIFT) + F.col("vy")) * F.lit(SHIFT) + F.col("vz"),
+    )
+
+
+def voxel_normals(
+    points: DataFrame,
+    voxel: float = DEFAULT_VOXEL,
+    min_points: int = DEFAULT_MIN_POINTS,
+) -> DataFrame:
+    """(vcell, vx, vy, vz, n_points, nx, ny, nz, curv) for voxels with a
+    well-defined plane fit (n ≥ min_points and det > 0)."""
+    pts = _with_voxels(points, voxel).select(
+        "vcell", "vx", "vy", "vz",
+        _mm(F.col("x")).alias("x_mm"),
+        _mm(F.col("y")).alias("y_mm"),
+        _mm(F.col("z")).alias("z_mm"),
+    )
+    mins = pts.groupBy("vcell", "vx", "vy", "vz").agg(
+        F.min("x_mm").alias("min_x"),
+        F.min("y_mm").alias("min_y"),
+        F.min("z_mm").alias("min_z"),
+        F.count("*").alias("n_points"),
+    ).filter(F.col("n_points") >= min_points)
+    centered = pts.join(F.broadcast(mins), ["vcell", "vx", "vy", "vz"]).select(
+        "vcell", "vx", "vy", "vz", "n_points",
+        (F.col("x_mm") - F.col("min_x")).alias("dx"),
+        (F.col("y_mm") - F.col("min_y")).alias("dy"),
+        (F.col("z_mm") - F.col("min_z")).alias("dz"),
+    )
+    sums = centered.groupBy("vcell", "vx", "vy", "vz", "n_points").agg(
+        F.sum("dx").alias("sx"), F.sum("dy").alias("sy"), F.sum("dz").alias("sz"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dz") * F.col("dz")).alias("szz"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dz")).alias("sxz"),
+        F.sum(F.col("dy") * F.col("dz")).alias("syz"),
+    )
+    n = F.col("n_points")
+    # n²-scaled central moments — exact BIGINTs
+    moms = sums.select(
+        "vcell", "vx", "vy", "vz", "n_points",
+        (n * F.col("sxx") - F.col("sx") * F.col("sx")).alias("cxx"),
+        (n * F.col("syy") - F.col("sy") * F.col("sy")).alias("cyy"),
+        (n * F.col("szz") - F.col("sz") * F.col("sz")).alias("czz"),
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cxy"),
+        (n * F.col("sxz") - F.col("sx") * F.col("sz")).alias("cxz"),
+        (n * F.col("syz") - F.col("sy") * F.col("sz")).alias("cyz"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    det = d("cxx") * d("cyy") - d("cxy") * d("cxy")
+    ax = d("cxz") * d("cyy") - d("cyz") * d("cxy")   # = a·det
+    bx = d("cyz") * d("cxx") - d("cxz") * d("cxy")   # = b·det
+    explained = (d("cxz") * ax + d("cyz") * bx) / det
+    trace = (d("cxx") + d("cyy")) + d("czz")
+    return (
+        moms.withColumn("_det", det)
+        .filter(F.col("_det") > 0)
+        .select(
+            "vcell", "vx", "vy", "vz", "n_points",
+            (-(ax)).alias("nx"),
+            (-(bx)).alias("ny"),
+            F.col("_det").alias("nz"),
+            ((d("czz") - explained) / trace).alias("curv"),
+        )
+    )
+
+
+def _gated_edges(vox: DataFrame, cos2: float) -> DataFrame:
+    """(src, dst) voxel pairs: 26-adjacent AND normal angle below the
+    threshold (dot > 0 AND dot² > cos²θ·|Na|²·|Nb|²)."""
+    nbrs = vox.select(
+        F.col("vcell").alias("src"),
+        F.col("nx").alias("nxa"), F.col("ny").alias("nya"),
+        F.col("nz").alias("nza"),
+        F.explode(
+            F.array(
+                *[
+                    F.col("vcell")
+                    + F.lit(ddx * SHIFT * SHIFT + ddy * SHIFT + ddz)
+                    for (ddx, ddy, ddz) in _OFFSETS
+                ]
+            )
+        ).alias("dst"),
+    )
+    b = vox.select(
+        F.col("vcell").alias("dst"),
+        F.col("nx").alias("nxb"), F.col("ny").alias("nyb"),
+        F.col("nz").alias("nzb"),
+    )
+    dot = (
+        F.col("nxa") * F.col("nxb") + F.col("nya") * F.col("nyb")
+    ) + F.col("nza") * F.col("nzb")
+    na2 = (
+        F.col("nxa") * F.col("nxa") + F.col("nya") * F.col("nya")
+    ) + F.col("nza") * F.col("nza")
+    nb2 = (
+        F.col("nxb") * F.col("nxb") + F.col("nyb") * F.col("nyb")
+    ) + F.col("nzb") * F.col("nzb")
+    return (
+        nbrs.join(b, "dst")
+        .filter((dot > 0) & (dot * dot > F.lit(cos2) * (na2 * nb2)))
+        .select("src", "dst")
+    )
+
+
+def _min_label_cc(nodes: DataFrame, edges: DataFrame,
+                  max_rounds: int = 40) -> DataFrame:
+    """(node, comp) — min-key components via iterative min-propagation +
+    pointer jumping with checkpointed frontiers (components.py pattern,
+    O(log diameter) rounds)."""
+    comp = nodes.select(F.col("node"), F.col("node").alias("comp"))
+    comp = comp.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(comp.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+            .withColumnRenamed("src", "node")
+        )
+        stepped = comp.join(nbr_min, "node", "left").select(
+            "node", F.least(F.col("comp"), F.col("nbr_comp")).alias("comp")
+        )
+        jumped = (
+            stepped.alias("a")
+            .join(
+                stepped.select(
+                    F.col("node").alias("comp"), F.col("comp").alias("comp2")
+                ).alias("b"),
+                "comp",
+                "left",
+            )
+            .select("node", F.coalesce("comp2", "comp").alias("comp"))
+        )
+        jumped = jumped.localCheckpoint(eager=True)
+        changed = (
+            jumped.join(comp.withColumnRenamed("comp", "old"), "node")
+            .filter(F.col("comp") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        comp = jumped
+        if changed == 0:
+            break
+    return comp
+
+
+def region_grow(
+    points: DataFrame,
+    seed_col: str = "is_seed",
+    voxel: float = DEFAULT_VOXEL,
+    angle_deg: float = DEFAULT_ANGLE_DEG,
+    threshold_curve: float = DEFAULT_CURVE,
+    min_points: int = DEFAULT_MIN_POINTS,
+) -> DataFrame:
+    """Append ``grown`` to each point: True iff its voxel is reached by
+    region growing from the seed voxels (voxels containing ≥1 row with
+    ``seed_col`` true). Gates per the reference: normal-angle edge test,
+    curvature seed-capability test."""
+    cos2 = cos2_threshold(angle_deg)
+    vox = voxel_normals(points, voxel, min_points).persist()
+    ptsv = _with_voxels(points, voxel)
+    seed_vox = (
+        ptsv.filter(F.col(seed_col)).select("vcell").distinct().persist()
+    )
+    edges = _gated_edges(vox, cos2).persist()
+
+    capable = vox.join(
+        seed_vox.withColumn("_s", F.lit(True)), "vcell", "left"
+    ).filter(
+        (F.col("curv") < F.lit(threshold_curve)) | F.col("_s").isNotNull()
+    ).select(F.col("vcell").alias("node"), F.col("_s").isNotNull().alias("_seed"))
+    cap_edges = (
+        edges.join(capable.select(F.col("node").alias("src")), "src")
+        .join(capable.select(F.col("node").alias("dst")), "dst")
+        .select("src", "dst")
+    )
+    comp = _min_label_cc(capable.select("node"), cap_edges)
+    grown_comps = (
+        comp.join(
+            capable.filter(F.col("_seed")).select("node"), "node"
+        )
+        .select("comp")
+        .distinct()
+    )
+    region_seeds = comp.join(F.broadcast(grown_comps), "comp").select(
+        F.col("node").alias("vcell")
+    )
+    frontier = (
+        edges.withColumnRenamed("src", "vcell")
+        .join(region_seeds, "vcell")
+        .select(F.col("dst").alias("vcell"))
+    )
+    accepted = (
+        region_seeds.unionByName(frontier)
+        .unionByName(seed_vox)
+        .distinct()
+        .withColumn("_grown", F.lit(True))
+    )
+    out = ptsv.join(F.broadcast(accepted), "vcell", "left").withColumn(
+        "grown", F.col("_grown").isNotNull()
+    )
+    vox.unpersist()
+    seed_vox.unpersist()
+    edges.unpersist()
+    return out.drop("_grown", "vcell", "vx", "vy", "vz")
+
+
+# ----------------------------------------------------------------------
+# Oracle SQL builder (DuckDB): identical arithmetic, recursive-CTE reach
+# ----------------------------------------------------------------------
+
+def region_grow_sql(
+    pts_cte: str,
+    seed_pred: str,
+    voxel: float = DEFAULT_VOXEL,
+    angle_deg: float = DEFAULT_ANGLE_DEG,
+    threshold_curve: float = DEFAULT_CURVE,
+    min_points: int = DEFAULT_MIN_POINTS,
+) -> str:
+    """Full query over a CTE producing (page_id, x, y, z); seed_pred is
+    a boolean SQL expression over those columns. Returns
+    (page_id, grown). Must be prefixed WITH RECURSIVE by the caller."""
+    cos2 = repr(cos2_threshold(angle_deg))
+    v = repr(float(voxel))
+    return f"""
+rg_pts AS ({pts_cte}),
+rg_vox AS (
+  SELECT page_id, x, y, z,
+         CAST(floor(x / {v}) AS BIGINT) AS vx,
+         CAST(floor(y / {v}) AS BIGINT) AS vy,
+         CAST(floor(z / {v}) AS BIGINT) AS vz,
+         (CAST(floor(x / {v}) AS BIGINT) * {SHIFT}
+          + CAST(floor(y / {v}) AS BIGINT)) * {SHIFT}
+          + CAST(floor(z / {v}) AS BIGINT) AS vcell,
+         CAST(round(x * 1000.0) AS BIGINT) AS x_mm,
+         CAST(round(y * 1000.0) AS BIGINT) AS y_mm,
+         CAST(round(z * 1000.0) AS BIGINT) AS z_mm,
+         ({seed_pred}) AS is_seed
+  FROM rg_pts
+),
+rg_mins AS (
+  SELECT vcell, MIN(x_mm) AS min_x, MIN(y_mm) AS min_y, MIN(z_mm) AS min_z,
+         COUNT(*) AS n_points
+  FROM rg_vox GROUP BY vcell
+  HAVING COUNT(*) >= {min_points}
+),
+rg_sums AS (
+  SELECT p.vcell, ANY_VALUE(p.vx) AS vx, ANY_VALUE(p.vy) AS vy,
+         ANY_VALUE(p.vz) AS vz, m.n_points,
+         SUM(p.x_mm - m.min_x) AS sx, SUM(p.y_mm - m.min_y) AS sy,
+         SUM(p.z_mm - m.min_z) AS sz,
+         SUM((p.x_mm - m.min_x) * (p.x_mm - m.min_x)) AS sxx,
+         SUM((p.y_mm - m.min_y) * (p.y_mm - m.min_y)) AS syy,
+         SUM((p.z_mm - m.min_z) * (p.z_mm - m.min_z)) AS szz,
+         SUM((p.x_mm - m.min_x) * (p.y_mm - m.min_y)) AS sxy,
+         SUM((p.x_mm - m.min_x) * (p.z_mm - m.min_z)) AS sxz,
+         SUM((p.y_mm - m.min_y) * (p.z_mm - m.min_z)) AS syz
+  FROM rg_vox p JOIN rg_mins m ON m.vcell = p.vcell
+  GROUP BY p.vcell, m.n_points
+),
+rg_moms AS (
+  SELECT vcell, vx, vy, vz, n_points,
+         CAST(n_points * sxx - sx * sx AS BIGINT) AS cxx,
+         CAST(n_points * syy - sy * sy AS BIGINT) AS cyy,
+         CAST(n_points * szz - sz * sz AS BIGINT) AS czz,
+         CAST(n_points * sxy - sx * sy AS BIGINT) AS cxy,
+         CAST(n_points * sxz - sx * sz AS BIGINT) AS cxz,
+         CAST(n_points * syz - sy * sz AS BIGINT) AS cyz
+  FROM rg_sums
+),
+rg_nrm AS (
+  SELECT vcell, vx, vy, vz, n_points,
+         -(CAST(cxz AS DOUBLE) * CAST(cyy AS DOUBLE)
+           - CAST(cyz AS DOUBLE) * CAST(cxy AS DOUBLE)) AS nx,
+         -(CAST(cyz AS DOUBLE) * CAST(cxx AS DOUBLE)
+           - CAST(cxz AS DOUBLE) * CAST(cxy AS DOUBLE)) AS ny,
+         CAST(cxx AS DOUBLE) * CAST(cyy AS DOUBLE)
+           - CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE) AS nz,
+         (CAST(czz AS DOUBLE)
+          - (CAST(cxz AS DOUBLE) * (CAST(cxz AS DOUBLE) * CAST(cyy AS DOUBLE)
+                                    - CAST(cyz AS DOUBLE) * CAST(cxy AS DOUBLE))
+             + CAST(cyz AS DOUBLE) * (CAST(cyz AS DOUBLE) * CAST(cxx AS DOUBLE)
+                                      - CAST(cxz AS DOUBLE) * CAST(cxy AS DOUBLE)))
+            / (CAST(cxx AS DOUBLE) * CAST(cyy AS DOUBLE)
+               - CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE)))
+         / ((CAST(cxx AS DOUBLE) + CAST(cyy AS DOUBLE)) + CAST(czz AS DOUBLE))
+           AS curv
+  FROM rg_moms
+  WHERE CAST(cxx AS DOUBLE) * CAST(cyy AS DOUBLE)
+        - CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE) > 0
+),
+rg_seedvox AS (SELECT DISTINCT vcell FROM rg_vox WHERE is_seed),
+rg_edges AS (
+  SELECT a.vcell AS src, b.vcell AS dst
+  FROM rg_nrm a JOIN rg_nrm b
+    ON abs(a.vx - b.vx) <= 1 AND abs(a.vy - b.vy) <= 1
+   AND abs(a.vz - b.vz) <= 1 AND a.vcell != b.vcell
+  WHERE (a.nx * b.nx + a.ny * b.ny) + a.nz * b.nz > 0
+    AND ((a.nx * b.nx + a.ny * b.ny) + a.nz * b.nz)
+        * ((a.nx * b.nx + a.ny * b.ny) + a.nz * b.nz)
+      > {cos2} * ((((a.nx * a.nx + a.ny * a.ny) + a.nz * a.nz))
+                  * (((b.nx * b.nx + b.ny * b.ny) + b.nz * b.nz)))
+),
+rg_cap AS (
+  SELECT n.vcell, (s.vcell IS NOT NULL) AS is_seed
+  FROM rg_nrm n LEFT JOIN rg_seedvox s ON s.vcell = n.vcell
+  WHERE n.curv < {threshold_curve} OR s.vcell IS NOT NULL
+),
+rg_capedges AS (
+  SELECT e.src, e.dst FROM rg_edges e
+  JOIN rg_cap ca ON ca.vcell = e.src
+  JOIN rg_cap cb ON cb.vcell = e.dst
+),
+rg_reach(node) AS (
+  SELECT vcell FROM rg_cap WHERE is_seed
+  UNION
+  SELECT e.dst FROM rg_reach r JOIN rg_capedges e ON e.src = r.node
+),
+rg_accepted AS (
+  SELECT node AS vcell FROM rg_reach
+  UNION
+  SELECT e.dst AS vcell FROM rg_edges e JOIN rg_reach r ON e.src = r.node
+  UNION
+  SELECT vcell FROM rg_seedvox
+)
+SELECT p.page_id, (a.vcell IS NOT NULL) AS grown
+FROM rg_vox p
+LEFT JOIN (SELECT DISTINCT vcell FROM rg_accepted) a ON a.vcell = p.vcell
+"""

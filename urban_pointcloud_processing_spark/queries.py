@@ -1550,6 +1550,92 @@ def q_layer_grower(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# RegionGrowing (reference region_growing.py:15-170): seeded surface
+# growth gated by normal angle + curvature, over a planar-zones fixture
+# ----------------------------------------------------------------------
+
+from .operators.region_growing import region_grow, region_grow_sql  # noqa: E402
+
+# Deterministic piecewise-planar z over the geocoded (x, y) window
+# (FIXTURES.md style — integer-mm arithmetic, identical on both engines):
+#   zone A (x < 119300):       flat plane z = 2
+#   zone B (119300 ≤ x < 119350): 10 % grade (≈5.7° from A → grows)
+#   zone C (x ≥ 119350):       100 % grade wall (≈39° from B → blocked)
+#   rough stripe (y ∈ [485120, 485130), two voxel rows): ±2 m hash
+#   jitter → high curvature, so growth cannot pass THROUGH it
+#   (curvature gate; two rows so diagonal adjacency cannot skip it).
+# Seeds: the strip x < 119270 AND y < 485120 (below the stripe).
+_RG_PTS_CTE = f"""
+SELECT o_orderkey AS page_id,
+       {G.x_sql('o_orderkey')} AS x,
+       {G.y_sql('o_orderkey')} AS y,
+       CAST(
+         (CASE WHEN (o_orderkey * {G.AX}) % 150000 < 50000 THEN 2000
+               WHEN (o_orderkey * {G.AX}) % 150000 < 100000
+                 THEN 2000 + CAST(floor(((o_orderkey * {G.AX}) % 150000 - 50000)
+                                        / 10) AS BIGINT)
+               ELSE 7000 + ((o_orderkey * {G.AX}) % 150000 - 100000) END
+          + CASE WHEN (o_orderkey * {G.AY}) % 150000 >= 70000
+                  AND (o_orderkey * {G.AY}) % 150000 < 80000
+                 THEN (o_orderkey * {G.AZ}) % 4001 - 2000 ELSE 0 END)
+         AS DOUBLE) / 1000.0 AS z
+FROM orders
+"""
+
+_RG_SEED_PRED = "x < 119270.0 AND y < 485120.0"
+
+
+def _rg_planar_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.pages import spread_small_scan
+
+    pid = F.col("page_id")
+    xm = (pid * F.lit(G.AX)) % F.lit(150000)
+    ym = (pid * F.lit(G.AY)) % F.lit(150000)
+    zb = (
+        F.when(xm < 50000, F.lit(2000).cast("long"))
+        .when(
+            xm < 100000,
+            F.lit(2000)
+            + F.floor((xm - F.lit(50000)) / F.lit(10)).cast("long"),
+        )
+        .otherwise(F.lit(7000) + (xm - F.lit(100000)))
+    )
+    jit = F.when(
+        (ym >= 70000) & (ym < 80000),
+        (pid * F.lit(G.AZ)) % F.lit(4001) - F.lit(2000),
+    ).otherwise(F.lit(0).cast("long"))
+    base = spread_small_scan(
+        spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            F.col("o_orderkey").alias("page_id")
+        )
+    )
+    return base.select(
+        "page_id",
+        G.x_col(pid).alias("x"),
+        G.y_col(pid).alias("y"),
+        ((zb + jit) / F.lit(1000.0)).alias("z"),
+    )
+
+
+@register(
+    "region_growing",
+    "WITH RECURSIVE " + region_grow_sql(_RG_PTS_CTE, _RG_SEED_PRED),
+)
+def q_region_growing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegionGrowing (reference region_growing.py:15-170): seed strip in
+    the flat zone grows across the gentle slope (normal angle ≈5.7° <
+    20°), is blocked by the 45° wall and cannot pass through the
+    high-curvature rough stripe. Engine: voxel plane-fit normals from
+    exact integer moments + gated min-label CC; oracle: identical
+    arithmetic + recursive-CTE reach."""
+    pages = _rg_planar_pages(spark, sf_dir)
+    seeded = pages.withColumn(
+        "is_seed", (F.col("x") < 119270.0) & (F.col("y") < 485120.0)
+    )
+    return region_grow(seeded).select("page_id", "grown")
+
+
+# ----------------------------------------------------------------------
 # PCA shape features per cell (reference cable_fuser.py:133-149 —
 # covariance eigen-decomposition → linearity candidates)
 # ----------------------------------------------------------------------
