@@ -1328,6 +1328,228 @@ def q_pole_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# BGTPoleFuser composite (reference pole_fuser.py:60-290): candidate
+# columns → per-object window → seed DBSCAN → cylinder relabel
+# ----------------------------------------------------------------------
+
+from .operators.dbscan import dbscan_sql, dbscan_windows  # noqa: E402
+from .sources.layers import point_layer_df  # noqa: E402
+
+# Fixture-scaled parameters (reference defaults in parens — the sf
+# fixture is ~10⁴× sparser than LiDAR, so radii/eps scale up while the
+# chain's semantics stay identical): search_pad 6 (1.5), seed z-band
+# [0.5, 6.0] above ground (plane_height±0.1), DBSCAN eps 2.5 (0.05) /
+# min_samples 4 (5), max_r 6 (0.5), candidate match buffer 3 (0.1),
+# r_mult 1.5 (1.5), label_height 8 (4), object match radius 15 (1.2).
+_POLE = {
+    "search_r": 6.0, "zlo": 0.5, "zhi": 6.0,
+    "eps": 2.5, "min_samples": 4,
+    "max_r": 6.0, "match_buf": 3.0,
+    "r_mult": 1.5, "label_h": 8.0,
+    "obj_max_dist_sq": 225.0,
+}
+
+_POLE_BINS_CTE = """
+bins AS (
+  SELECT CAST(floor(x / 5.0) AS BIGINT) AS bin_x,
+         CAST(floor(y / 5.0) AS BIGINT) AS bin_y,
+         MIN(z) AS z_min, MAX(z) AS z_max,
+         quantile_cont(z, 0.5) AS z_median, COUNT(z) AS n_points
+  FROM pts GROUP BY 1, 2
+),
+poles AS (
+  SELECT *, bin_x * 5.0 + 2.5 AS cx, bin_y * 5.0 + 2.5 AS cy
+  FROM bins
+  WHERE z_max - z_min > 4.0 AND n_points >= 5
+    AND abs(z_median - (z_min + z_max) / 2) < 1.5
+)"""
+
+_POLE_WPTS_CTE = f"""
+SELECT m.obj_id AS win_id, p.page_id AS pid, p.x, p.y
+FROM pmatch m JOIN pts p
+  ON (p.x - m.wx) * (p.x - m.wx) + (p.y - m.wy) * (p.y - m.wy)
+     <= {_POLE['search_r'] ** 2}
+WHERE p.z >= m.gz + {_POLE['zlo']} AND p.z <= m.gz + {_POLE['zhi']}
+"""
+
+_POLE_FUSER_ORACLE = f"""
+WITH RECURSIVE pts AS ({PAGES_CTE}),
+{_POLE_BINS_CTE},
+objs AS (
+  SELECT obj_id, x AS ox, y AS oy,
+         {R.ground_z_sql('CAST(floor(x) AS BIGINT)', 'CAST(floor(y) AS BIGINT)')}
+           AS gz
+  FROM {point_layer_values_sql()}
+  WHERE bgt_type = 'lichtmast'
+),
+pmatch AS (
+  SELECT obj_id, ox, oy, gz, wx, wy FROM (
+    SELECT o.*, p.cx AS wx, p.cy AS wy,
+           row_number() OVER (
+             PARTITION BY o.obj_id
+             ORDER BY (p.cx - o.ox) * (p.cx - o.ox)
+                    + (p.cy - o.oy) * (p.cy - o.oy), p.bin_x, p.bin_y) AS rn
+    FROM objs o JOIN poles p
+      ON (p.cx - o.ox) * (p.cx - o.ox) + (p.cy - o.oy) * (p.cy - o.oy)
+         <= {_POLE['obj_max_dist_sq']}
+  ) WHERE rn = 1
+),
+{dbscan_sql(_POLE_WPTS_CTE, _POLE['eps'], _POLE['min_samples'])},
+clus AS (
+  SELECT a.win_id, a.cluster, COUNT(*) AS n,
+         CAST(SUM(CAST(round(w.x * 1000.0) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1000.0 AS ccx,
+         CAST(SUM(CAST(round(w.y * 1000.0) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1000.0 AS ccy,
+         GREATEST(MAX(CAST(round(w.x * 1000.0) AS BIGINT))
+                  - MIN(CAST(round(w.x * 1000.0) AS BIGINT)),
+                  MAX(CAST(round(w.y * 1000.0) AS BIGINT))
+                  - MIN(CAST(round(w.y * 1000.0) AS BIGINT))) / 2000.0 AS cr
+  FROM db_assign a
+  JOIN db_wpts w ON w.win_id = a.win_id AND w.pid = a.pid
+  WHERE a.cluster >= 0
+  GROUP BY a.win_id, a.cluster
+),
+pick AS (
+  SELECT win_id, ccx, ccy, cr, gz FROM (
+    SELECT c.*, m.gz,
+           row_number() OVER (PARTITION BY c.win_id ORDER BY c.cluster) AS rn
+    FROM clus c JOIN pmatch m ON m.obj_id = c.win_id
+    WHERE c.cr <= {_POLE['max_r']}
+      AND (m.wx - c.ccx) * (m.wx - c.ccx) + (m.wy - c.ccy) * (m.wy - c.ccy)
+          < (c.cr + {_POLE['match_buf']}) * (c.cr + {_POLE['match_buf']})
+  ) WHERE rn = 1
+)
+SELECT DISTINCT q.page_id, 60 AS label
+FROM pts q JOIN pick k
+  ON (q.x - k.ccx) * (q.x - k.ccx) + (q.y - k.ccy) * (q.y - k.ccy)
+     <= ({_POLE['r_mult']} * k.cr) * ({_POLE['r_mult']} * k.cr)
+WHERE q.z <= k.gz + {_POLE['label_h']}
+"""
+
+
+@register("pole_fuser", _POLE_FUSER_ORACLE)
+def q_pole_fuser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BGTPoleFuser (reference pole_fuser.py:60-290): per registry
+    object, match the nearest pole-like voxel column, DBSCAN the seed
+    window (deterministic variant, operators/dbscan.py), validate the
+    seed cluster (radius + containment), then label the cylinder
+    r_mult·r up to ground+label_height. Non-vacuous: labels actual
+    pages with STREET_LIGHT (60)."""
+    from .operators.neighbors import binned_statistic_2d
+
+    P = _POLE
+    pages = pages_from_orders(spark, sf_dir).select("page_id", "x", "y", "z")
+    bins = binned_statistic_2d(pages, res=5.0)
+    poles = bins.filter(
+        (F.col("z_max") - F.col("z_min") > 4.0)
+        & (F.col("n_points") >= 5)
+        & (F.abs(F.col("z_median") - (F.col("z_min") + F.col("z_max")) / 2) < 1.5)
+    ).select(
+        "bin_x", "bin_y",
+        (F.col("bin_x") * 5.0 + 2.5).alias("wx"),
+        (F.col("bin_y") * 5.0 + 2.5).alias("wy"),
+    )
+    objs = (
+        point_layer_df(spark)
+        .filter(F.col("bgt_type") == "lichtmast")
+        .select(
+            "obj_id",
+            F.col("x").alias("ox"),
+            F.col("y").alias("oy"),
+            R.ground_z_col(
+                F.floor(F.col("x")), F.floor(F.col("y"))
+            ).alias("gz"),
+        )
+    )
+    d2 = (F.col("wx") - F.col("ox")) * (F.col("wx") - F.col("ox")) + (
+        F.col("wy") - F.col("oy")
+    ) * (F.col("wy") - F.col("oy"))
+    from pyspark.sql import Window
+
+    wnd = Window.partitionBy("obj_id").orderBy(
+        d2, F.col("bin_x"), F.col("bin_y")
+    )
+    pmatch = (
+        F.broadcast(objs)
+        .join(poles, d2 <= F.lit(P["obj_max_dist_sq"]))
+        .withColumn("_rn", F.row_number().over(wnd))
+        .filter(F.col("_rn") == 1)
+        .select("obj_id", "gz", "wx", "wy")
+    )
+    wdist = (F.col("x") - F.col("wx")) * (F.col("x") - F.col("wx")) + (
+        F.col("y") - F.col("wy")
+    ) * (F.col("y") - F.col("wy"))
+    wpts = (
+        pages.join(F.broadcast(pmatch), wdist <= F.lit(P["search_r"] ** 2))
+        .filter(
+            (F.col("z") >= F.col("gz") + F.lit(P["zlo"]))
+            & (F.col("z") <= F.col("gz") + F.lit(P["zhi"]))
+        )
+        .select(
+            F.col("obj_id").alias("win_id"),
+            F.col("page_id").alias("pid"),
+            "x", "y",
+        )
+    )
+    assign = dbscan_windows(
+        wpts, eps=P["eps"], min_samples=P["min_samples"]
+    ).filter(F.col("cluster") >= 0)
+    xmm = F.round(F.col("x") * 1000.0).cast("long")
+    ymm = F.round(F.col("y") * 1000.0).cast("long")
+    clus = (
+        assign.join(wpts, ["win_id", "pid"])
+        .groupBy("win_id", "cluster")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(xmm).cast("double") / F.count("*") / F.lit(1000.0)
+            ).alias("ccx"),
+            (
+                F.sum(ymm).cast("double") / F.count("*") / F.lit(1000.0)
+            ).alias("ccy"),
+            (
+                F.greatest(
+                    F.max(xmm) - F.min(xmm), F.max(ymm) - F.min(ymm)
+                )
+                / F.lit(2000.0)
+            ).alias("cr"),
+        )
+    )
+    pdist = (F.col("wx") - F.col("ccx")) * (F.col("wx") - F.col("ccx")) + (
+        F.col("wy") - F.col("ccy")
+    ) * (F.col("wy") - F.col("ccy"))
+    wpick = Window.partitionBy("win_id").orderBy("cluster")
+    pick = (
+        clus.join(
+            F.broadcast(pmatch.select(F.col("obj_id").alias("win_id"), "gz", "wx", "wy")),
+            "win_id",
+        )
+        .filter(
+            (F.col("cr") <= F.lit(P["max_r"]))
+            & (
+                pdist
+                < (F.col("cr") + F.lit(P["match_buf"]))
+                * (F.col("cr") + F.lit(P["match_buf"]))
+            )
+        )
+        .withColumn("_rn", F.row_number().over(wpick))
+        .filter(F.col("_rn") == 1)
+        .select("win_id", "ccx", "ccy", "cr", "gz")
+    )
+    cdist = (F.col("x") - F.col("ccx")) * (F.col("x") - F.col("ccx")) + (
+        F.col("y") - F.col("ccy")
+    ) * (F.col("y") - F.col("ccy"))
+    rr = F.lit(P["r_mult"]) * F.col("cr")
+    return (
+        pages.join(F.broadcast(pick), cdist <= rr * rr)
+        .filter(F.col("z") <= F.col("gz") + F.lit(P["label_h"]))
+        .select("page_id", F.lit(60).alias("label"))
+        .distinct()
+    )
+
+
+# ----------------------------------------------------------------------
 # Per-component analytics: cluster stats, MBR, car-style dim fuser
 # (reference car_fuser.py:57-85, street_furniture_fuser.py:63-79,
 # math_utils.py:65-130)
