@@ -198,6 +198,126 @@ def q_building_fuser(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# AHNFuser refine_ground (reference ahn_fuser.py:96-125 + _refine_layer
+# :76-108): components of UNKNOWN points just above the ground surface
+# cast an object footprint; ground points under that footprint are
+# un-grounded. The reference computes a buffered alpha-shape hull of
+# each component (alpha_shape_utils.py:11-202); on the gridded fixture
+# the footprint is exactly the component's occupied-cell set dilated by
+# one cell (buffer ≈ grid size) — a scipy-free, fully relational
+# re-expression of the same subtraction.
+_RG_BAND = (0.2, 1.5)   # bottom, top (fixture-scaled; ref 0.02/0.5)
+_RG_MIN_COMP = 5        # ref min_comp_size=50, fixture-scaled
+_RG_GRID = 1.5          # ref grid_size=0.4, fixture-scaled (sparse pages)
+
+_GZ = R.ground_z_sql(_GX, _GY)
+_BZ = R.building_z_sql(_GX, _GY)
+
+_REFINE_CC = f"""
+ground AS (
+  SELECT page_id, x, y,
+         CAST(floor(x / {_RG_GRID}) AS BIGINT) AS cx,
+         CAST(floor(y / {_RG_GRID}) AS BIGINT) AS cy
+  FROM pts WHERE abs(z - {_GZ}) < 0.2
+),
+unk AS (
+  SELECT page_id,
+         CAST(floor(x / {_RG_GRID}) AS BIGINT) AS cx,
+         CAST(floor(y / {_RG_GRID}) AS BIGINT) AS cy
+  FROM pts
+  WHERE z >= {_GZ} - {_RG_BAND[0]} AND z <= {_GZ} + {_RG_BAND[1]}
+    AND NOT abs(z - {_GZ}) < 0.2
+),
+ucells AS (SELECT DISTINCT cx, cy, cx * 2147483648 + cy AS cell FROM unk),
+uadj AS (
+  SELECT a.cell AS src, b.cell AS dst
+  FROM ucells a JOIN ucells b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+),
+ureach(src, node) AS (
+  SELECT cell, cell FROM ucells
+  UNION
+  SELECT r.src, e.dst FROM ureach r JOIN uadj e ON r.node = e.src
+),
+ucomp AS (SELECT src AS cell, MIN(node) AS component FROM ureach GROUP BY src),
+usize AS (
+  SELECT c.component, COUNT(*) AS n
+  FROM unk u JOIN ucomp c ON u.cx * 2147483648 + u.cy = c.cell
+  GROUP BY c.component
+),
+big AS (SELECT component FROM usize WHERE n >= {_RG_MIN_COMP}),
+fp AS (
+  SELECT DISTINCT uc.cx + dx.d AS cx, uc.cy + dy.d AS cy
+  FROM ucells uc
+  JOIN ucomp c ON c.cell = uc.cell
+  JOIN big b ON b.component = c.component
+  CROSS JOIN (VALUES (-1), (0), (1)) AS dx(d)
+  CROSS JOIN (VALUES (-1), (0), (1)) AS dy(d)
+)
+"""
+
+
+@register(
+    "ground_refine",
+    f"""
+WITH RECURSIVE pts AS ({PAGES_CTE}),
+{_REFINE_CC}
+SELECT g.page_id, (f.cx IS NOT NULL) AS removed
+FROM ground g LEFT JOIN fp f ON f.cx = g.cx AND f.cy = g.cy
+""",
+)
+def q_ground_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AHNFuser refine_ground: for every ground point, whether it falls
+    under the dilated footprint of a ≥min-size UNKNOWN component in the
+    band just above ground (and is therefore removed from GROUND)."""
+    from .operators.components import grid_components_two_level, size_filter
+
+    pages = pages_from_orders(spark, sf_dir)
+    enriched = R.with_raster(pages, R.raster_df(spark))
+    is_ground = F.abs(F.col("z") - F.col("ground_z")) < 0.2
+    ground = enriched.filter(is_ground).select(
+        "page_id",
+        F.floor(F.col("x") / F.lit(_RG_GRID)).cast("long").alias("cx"),
+        F.floor(F.col("y") / F.lit(_RG_GRID)).cast("long").alias("cy"),
+    )
+    unk = enriched.filter(
+        (F.col("z") >= F.col("ground_z") - F.lit(_RG_BAND[0]))
+        & (F.col("z") <= F.col("ground_z") + F.lit(_RG_BAND[1]))
+        & ~is_ground
+    ).select("page_id", "x", "y")
+    comps = size_filter(
+        grid_components_two_level(unk, grid_size=_RG_GRID), _RG_MIN_COMP
+    ).filter(F.col("component") != -1)
+    cells = comps.select(
+        F.floor(F.col("x") / F.lit(_RG_GRID)).cast("long").alias("cx"),
+        F.floor(F.col("y") / F.lit(_RG_GRID)).cast("long").alias("cy"),
+    ).distinct()
+    offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
+            (1, -1), (1, 0), (1, 1)]
+    fp = (
+        cells.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            (F.col("cx") + F.lit(dx)).alias("cx"),
+                            (F.col("cy") + F.lit(dy)).alias("cy"),
+                        )
+                        for dx, dy in offs
+                    ]
+                )
+            ).alias("c")
+        )
+        .select("c.cx", "c.cy")
+        .distinct()
+        .withColumn("_fp", F.lit(True))
+    )
+    return (
+        ground.join(F.broadcast(fp), ["cx", "cy"], "left")
+        .select("page_id", F.col("_fp").isNotNull().alias("removed"))
+    )
+
+
 # ----------------------------------------------------------------------
 # Pipeline fold — first-writer-wins ordered labelling
 # (reference src/upcp/pipeline.py:88-95; fuser order per notebooks/0.)
@@ -233,9 +353,6 @@ def _pipeline_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pipe.run_fused(pages)
 
-
-_GZ = R.ground_z_sql(_GX, _GY)
-_BZ = R.building_z_sql(_GX, _GY)
 
 _PIPELINE_ORACLE = f"""
 WITH pts AS ({PAGES_CTE}),
@@ -1111,6 +1228,117 @@ def q_cable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merge_cables(members, group_col=None)
+
+
+# ----------------------------------------------------------------------
+# Tram-cable classification (reference _classify_tram_cables,
+# cable_fuser.py:462-503): a cable cluster is a TRAM cable when its
+# axis passes within the buffered tram-track union AND its minimum
+# height above ground is below the tram-wire ceiling.
+# ----------------------------------------------------------------------
+
+from .sources.layers import line_segments_df, line_segments_values_sql  # noqa: E402
+
+_TRAM_BUF = 2.5    # ref: track buffer ~2 + cable-line buffer 0.5
+_TRAM_MAX_H = 8.0  # ref max_tramcable_height, fixture-scaled
+
+
+def _seg_d2_sql(px: str, py: str) -> str:
+    """Squared distance from point to segment (s.x1,s.y1)-(s.x2,s.y2):
+    clamped projection, closed-form rational — identical text on both
+    engines (reference uses shapely buffer-intersects; this is the
+    equivalent distance-threshold test)."""
+    l2 = "((s.x2 - s.x1) * (s.x2 - s.x1) + (s.y2 - s.y1) * (s.y2 - s.y1))"
+    traw = (
+        f"((({px} - s.x1) * (s.x2 - s.x1) + ({py} - s.y1) * (s.y2 - s.y1))"
+        f" / {l2})"
+    )
+    t = f"LEAST(GREATEST({traw}, 0.0), 1.0)"
+    dx = f"({px} - (s.x1 + {t} * (s.x2 - s.x1)))"
+    dy = f"({py} - (s.y1 + {t} * (s.y2 - s.y1)))"
+    return f"({dx} * {dx} + {dy} * {dy})"
+
+
+@register(
+    "tram_classify",
+    f"""
+WITH feats AS ({pca_cell_features_sql(PAGES_CTE, 5.0, 3).strip()}),
+cables AS (
+  SELECT cell_x, cell_y, cell_x * 100000 + cell_y AS cluster_id
+  FROM feats WHERE linearity > 0.9 AND n_points >= 4
+),
+pts AS ({PAGES_CTE}),
+members AS (
+  SELECT c.cluster_id, p.x, p.y,
+         p.z - {_GZ} AS h
+  FROM pts p JOIN cables c
+    ON CAST(floor(p.x / 5.0) AS BIGINT) = c.cell_x
+   AND CAST(floor(p.y / 5.0) AS BIGINT) = c.cell_y
+),
+trackd AS (
+  SELECT m.cluster_id, MIN({_seg_d2_sql('m.x', 'm.y')}) AS min_track_d2
+  FROM members m CROSS JOIN {line_segments_values_sql()}
+  GROUP BY m.cluster_id
+),
+stats AS (
+  SELECT cluster_id, COUNT(*) AS n_points, MIN(h) AS min_height
+  FROM members GROUP BY cluster_id
+)
+SELECT s.cluster_id, s.n_points, t.min_track_d2, s.min_height,
+       (t.min_track_d2 <= {_TRAM_BUF ** 2}
+        AND s.min_height < {_TRAM_MAX_H}) AS is_tram
+FROM stats s JOIN trackd t ON t.cluster_id = s.cluster_id
+""",
+)
+def q_tram_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tram-cable rule classification over the cable clusters: buffered
+    track intersection (point-to-segment distance threshold against the
+    tram line layer) AND min height above ground below the ceiling."""
+    pages = pages_from_orders(spark, sf_dir)
+    feats = pca_cell_features(pages, 5.0, 3)
+    cables = feats.filter(
+        (F.col("linearity") > 0.9) & (F.col("n_points") >= 4)
+    ).select(
+        "cell_x", "cell_y",
+        (F.col("cell_x") * F.lit(100000) + F.col("cell_y")).alias("cluster_id"),
+    )
+    gz = R.ground_z_col(F.floor(F.col("x")), F.floor(F.col("y")))
+    members = (
+        pages.withColumns(
+            {
+                "cell_x": F.floor(F.col("x") / 5.0).cast("long"),
+                "cell_y": F.floor(F.col("y") / 5.0).cast("long"),
+            }
+        )
+        .join(F.broadcast(cables), ["cell_x", "cell_y"])
+        .select("cluster_id", "x", "y", (F.col("z") - gz).alias("h"))
+    )
+    segs = line_segments_df(spark).select("x1", "y1", "x2", "y2")
+    l2 = (F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1")) + (
+        F.col("y2") - F.col("y1")
+    ) * (F.col("y2") - F.col("y1"))
+    traw = (
+        (F.col("x") - F.col("x1")) * (F.col("x2") - F.col("x1"))
+        + (F.col("y") - F.col("y1")) * (F.col("y2") - F.col("y1"))
+    ) / l2
+    t = F.least(F.greatest(traw, F.lit(0.0)), F.lit(1.0))
+    dx = F.col("x") - (F.col("x1") + t * (F.col("x2") - F.col("x1")))
+    dy = F.col("y") - (F.col("y1") + t * (F.col("y2") - F.col("y1")))
+    trackd = (
+        members.crossJoin(F.broadcast(segs))
+        .groupBy("cluster_id")
+        .agg(F.min(dx * dx + dy * dy).alias("min_track_d2"))
+    )
+    stats = members.groupBy("cluster_id").agg(
+        F.count("*").alias("n_points"), F.min("h").alias("min_height")
+    )
+    return stats.join(trackd, "cluster_id").select(
+        "cluster_id", "n_points", "min_track_d2", "min_height",
+        (
+            (F.col("min_track_d2") <= F.lit(_TRAM_BUF ** 2))
+            & (F.col("min_height") < F.lit(_TRAM_MAX_H))
+        ).alias("is_tram"),
+    )
 
 
 # ----------------------------------------------------------------------
