@@ -73,3 +73,40 @@ def test_cluster_mbr_grouped_map(spark):
     assert got[0]["center_x"] == pytest.approx(1.0)
     assert got[1]["mbr_length"] == 0.0
     assert got[1]["n_points"] == 1
+
+
+def test_clip_poly_to_rect_cases():
+    from urban_pointcloud_processing_spark.operators.geometry import (
+        _clip_poly_to_rect,
+        _shoelace,
+    )
+
+    sq = np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]])
+    # fully inside
+    assert _shoelace(_clip_poly_to_rect(sq, -1, -1, 3, 3)) == pytest.approx(4.0)
+    # half clipped
+    assert _shoelace(_clip_poly_to_rect(sq, 1, -1, 3, 3)) == pytest.approx(2.0)
+    # disjoint
+    assert _shoelace(_clip_poly_to_rect(sq, 5, 5, 6, 6)) == 0.0
+    # rotated 45-degree square (diamond with vertices on axes, area 2)
+    # clipped to the upper-right quadrant -> one quarter
+    dia = np.array([[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0]])
+    assert _shoelace(_clip_poly_to_rect(dia, 0, 0, 2, 2)) == pytest.approx(0.5)
+
+
+def test_mbr_road_overlap_grouped_map(spark):
+    from urban_pointcloud_processing_spark.operators.geometry import (
+        mbr_road_overlap,
+    )
+
+    rows = []
+    # component 0: 45-degree-rotated square, corners (0,2),(2,0),(4,2),(2,4)
+    for x, y in [(0, 2), (2, 0), (4, 2), (2, 4)]:
+        rows.append((len(rows), float(x), float(y), 0))
+    df = spark.createDataFrame(rows, ["page_id", "x", "y", "component"])
+    # strip y in [0, 2] covers exactly half of the rotated square (area 8)
+    strips = [(0, -10.0, 0.0, 10.0, 2.0)]
+    got = {r["component"]: r for r in mbr_road_overlap(df, strips).collect()}
+    assert got[0]["mbr_area"] == pytest.approx(8.0)
+    assert got[0]["road_area"] == pytest.approx(4.0)
+    assert got[0]["road_pct"] == pytest.approx(50.0)

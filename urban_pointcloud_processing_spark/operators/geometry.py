@@ -131,6 +131,140 @@ def _mbr(xy):
     return length, width, ang_deg, float(center[0]), float(center[1])
 
 
+def _mbr_corners(xy):
+    """Corner coordinates (4×2, CCW) of the minimum bounding rectangle —
+    same rotating-calipers search as ``_mbr`` but returns the rectangle
+    itself for polygon-overlap work (reference car_fuser.py:76-85 passes
+    the MBR polygon to shapely's intersection)."""
+    import numpy as np
+
+    hull = _convex_hull(xy)
+    if len(hull) == 1:
+        return np.repeat(hull, 4, axis=0)
+    if len(hull) == 2:
+        return np.array([hull[0], hull[1], hull[1], hull[0]])
+    edges = np.diff(np.vstack([hull, hull[:1]]), axis=0)
+    angles = np.arctan2(edges[:, 1], edges[:, 0]) % (np.pi / 2)
+    best = None
+    for ang in np.unique(angles):
+        rot = np.array(
+            [[np.cos(-ang), -np.sin(-ang)], [np.sin(-ang), np.cos(-ang)]]
+        )
+        r = hull @ rot.T
+        mn, mx = r.min(axis=0), r.max(axis=0)
+        area = (mx - mn).prod()
+        if best is None or area < best[0]:
+            corners_r = np.array(
+                [[mn[0], mn[1]], [mx[0], mn[1]], [mx[0], mx[1]], [mn[0], mx[1]]]
+            )
+            best = (area, corners_r @ rot)  # inverse of rot.T
+    return best[1]
+
+
+def _clip_poly_to_rect(poly, rx0, ry0, rx1, ry1):
+    """Sutherland–Hodgman clip of a convex polygon (n×2 CCW) against an
+    axis-aligned rectangle; returns the clipped polygon (possibly
+    empty)."""
+    import numpy as np
+
+    def clip_half(pts, inside, intersect):
+        out = []
+        n = len(pts)
+        for i in range(n):
+            cur, nxt = pts[i], pts[(i + 1) % n]
+            cin, nin = inside(cur), inside(nxt)
+            if cin:
+                out.append(cur)
+                if not nin:
+                    out.append(intersect(cur, nxt))
+            elif nin:
+                out.append(intersect(cur, nxt))
+        return np.array(out) if out else np.empty((0, 2))
+
+    def x_cut(a, b, xv):
+        t = (xv - a[0]) / (b[0] - a[0])
+        return np.array([xv, a[1] + t * (b[1] - a[1])])
+
+    def y_cut(a, b, yv):
+        t = (yv - a[1]) / (b[1] - a[1])
+        return np.array([a[0] + t * (b[0] - a[0]), yv])
+
+    pts = poly
+    for inside, intersect in (
+        (lambda p: p[0] >= rx0, lambda a, b: x_cut(a, b, rx0)),
+        (lambda p: p[0] <= rx1, lambda a, b: x_cut(a, b, rx1)),
+        (lambda p: p[1] >= ry0, lambda a, b: y_cut(a, b, ry0)),
+        (lambda p: p[1] <= ry1, lambda a, b: y_cut(a, b, ry1)),
+    ):
+        if len(pts) == 0:
+            return pts
+        pts = clip_half(pts, inside, intersect)
+    return pts
+
+
+def _shoelace(poly) -> float:
+    import numpy as np
+
+    if len(poly) < 3:
+        return 0.0
+    x, y = poly[:, 0], poly[:, 1]
+    return float(
+        abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2.0
+    )
+
+
+MBR_OVERLAP_SCHEMA = StructType(
+    [
+        StructField("component", LongType()),
+        StructField("n_points", LongType()),
+        StructField("mbr_area", DoubleType()),
+        StructField("road_area", DoubleType()),
+        StructField("road_pct", DoubleType()),
+    ]
+)
+
+
+def mbr_road_overlap(
+    with_comp: DataFrame,
+    strips: list[tuple],
+    comp_col: str = "component",
+) -> DataFrame:
+    """Per-component rotated-MBR ∩ road-strip overlap fraction
+    (reference car_fuser.py:76-85: MBR polygon intersected with the
+    road layer; here the strips are axis-aligned rectangles
+    (rid, rx0, ry0, rx1, ry1), so a Sutherland–Hodgman clip + shoelace
+    gives the exact intersection area). Degenerate MBRs (area 0) report
+    road_pct 0."""
+    import numpy as np
+
+    strip_arr = [(float(a), float(b), float(c), float(d))
+                 for (_rid, a, b, c, d) in strips]
+
+    def per_comp(pdf):
+        import pandas as pd
+
+        xy = pdf[["x", "y"]].to_numpy(dtype=float)
+        corners = _mbr_corners(np.unique(xy, axis=0))
+        area = _shoelace(corners)
+        road = 0.0
+        for rx0, ry0, rx1, ry1 in strip_arr:
+            road += _shoelace(_clip_poly_to_rect(corners, rx0, ry0, rx1, ry1))
+        pct = road / area * 100.0 if area > 0 else 0.0
+        return pd.DataFrame(
+            {
+                "component": [int(pdf[comp_col].iloc[0])],
+                "n_points": [len(pdf)],
+                "mbr_area": [round(area, 6)],
+                "road_area": [round(road, 6)],
+                "road_pct": [round(pct, 6)],
+            }
+        )
+
+    return with_comp.groupBy(comp_col).applyInPandas(
+        per_comp, schema=MBR_OVERLAP_SCHEMA
+    )
+
+
 def cluster_mbr(with_comp: DataFrame, comp_col: str = "component") -> DataFrame:
     """Minimum bounding rectangle per component (grouped-map NumPy)."""
 

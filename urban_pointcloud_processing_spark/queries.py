@@ -1786,7 +1786,9 @@ def q_pole_fuser(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .operators.geometry import cluster_mbr, cluster_stats, cluster_stats_sql  # noqa: E402
 
 
-def _ground_with_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ground_with_comp(
+    spark: SparkSession, sf_dir: str, grid: float = 1.0
+) -> DataFrame:
     from .operators.components import grid_components_two_level as grid_components
 
     pages = pages_from_orders(spark, sf_dir)
@@ -1794,8 +1796,43 @@ def _ground_with_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground = enriched.filter(F.abs(F.col("z") - F.col("ground_z")) < 0.2).select(
         "page_id", "x", "y"
     )
-    comps = grid_components(ground.select("page_id", "x", "y"), grid_size=1.0)
+    comps = grid_components(ground.select("page_id", "x", "y"), grid_size=grid)
     return ground.join(comps.select("page_id", "component"), "page_id")
+
+
+# Coarser-grid CC chain for the dimension/overlap fusers: at fixture
+# density the 1 m ground components are all single points (every
+# extent < 0.5 m), so the reference's car/furniture dimension windows
+# would select nothing. 3 m cells yield a mix of small, window-sized
+# and giant components — all filter branches exercised (CTE names
+# suffixed 3; same recursive shape as _CC_BASE).
+_DIM_GRID = 3.0
+
+_CC_BASE3 = f"""
+pts AS ({PAGES_CTE}),
+ground3 AS (
+  SELECT page_id, CAST(floor(x / {_DIM_GRID}) AS BIGINT) AS cx,
+         CAST(floor(y / {_DIM_GRID}) AS BIGINT) AS cy
+  FROM pts WHERE abs(z - {_GZ}) < 0.2
+),
+cells3 AS (SELECT DISTINCT cx, cy, cx * 2147483648 + cy AS cell FROM ground3),
+adj3 AS (
+  SELECT a.cell AS src, b.cell AS dst
+  FROM cells3 a JOIN cells3 b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+),
+reach3(src, node) AS (
+  SELECT cell, cell FROM cells3
+  UNION
+  SELECT r.src, e.dst FROM reach3 r JOIN adj3 e ON r.node = e.src
+),
+comp3 AS (SELECT src AS cell, MIN(node) AS component FROM reach3 GROUP BY src),
+assign3 AS (
+  SELECT g.page_id, c.component, p.x, p.y
+  FROM ground3 g
+  JOIN comp3 c ON g.cx * 2147483648 + g.cy = c.cell
+  JOIN pts p ON p.page_id = g.page_id
+)"""
 
 
 _CLUSTER_ASSIGN_CTE = f"""
@@ -1843,9 +1880,8 @@ def q_cluster_mbr(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cluster_dim_fuser",
     f"""
-WITH RECURSIVE {_CC_BASE},
-{_CLUSTER_ASSIGN_CTE},
-stats AS ({cluster_stats_sql('assign')})
+WITH RECURSIVE {_CC_BASE3},
+stats AS ({cluster_stats_sql('assign3')})
 SELECT component, n_points,
        x_max - x_min AS ext_x, y_max - y_min AS ext_y
 FROM stats
@@ -1857,8 +1893,9 @@ WHERE n_points >= 3
 def q_cluster_dim_fuser(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CarFuser-style dimension window over components (reference
     car_fuser.py:61-74): keep clusters whose point count and axis
-    extents fall inside the target window."""
-    stats = cluster_stats(_ground_with_comp(spark, sf_dir))
+    extents fall inside the target window (3 m CC grid — see
+    _CC_BASE3 note on fixture density)."""
+    stats = cluster_stats(_ground_with_comp(spark, sf_dir, grid=_DIM_GRID))
     ext_x = F.col("x_max") - F.col("x_min")
     ext_y = F.col("y_max") - F.col("y_min")
     return (
@@ -2160,9 +2197,8 @@ from .sources.layers import road_strips_values_sql, roads_meta_df  # noqa: E402
 @register(
     "car_fuser",
     f"""
-WITH RECURSIVE {_CC_BASE},
-{_CLUSTER_ASSIGN_CTE},
-stats AS ({cluster_stats_sql('assign')}),
+WITH RECURSIVE {_CC_BASE3},
+stats AS ({cluster_stats_sql('assign3')}),
 dims AS (
   SELECT component, n_points,
          x_min - 0.5 AS x0, x_max + 0.5 AS x1,
@@ -2189,8 +2225,9 @@ def q_car_fuser(spark: SparkSession, sf_dir: str) -> DataFrame:
     components passing the dimension window whose footprint overlaps
     the road layer by > 20% get the CAR label. Overlap uses the
     cluster's axis-aligned extent vs the (axis-aligned) road strips —
-    exact rectangle-intersection areas, no geometry lib."""
-    stats = cluster_stats(_ground_with_comp(spark, sf_dir))
+    exact rectangle-intersection areas, no geometry lib. See
+    car_fuser_mbr for the rotated-MBR overlap variant."""
+    stats = cluster_stats(_ground_with_comp(spark, sf_dir, grid=_DIM_GRID))
     ext_x = F.col("x_max") - F.col("x_min")
     ext_y = F.col("y_max") - F.col("y_min")
     # footprint = bbox padded by the half-cell each point occupies
@@ -2222,6 +2259,34 @@ def q_car_fuser(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return overlap.filter(F.col("road_pct") > 20.0).select(
         "component", "n_points", "road_pct", F.lit(40).alias("label")
+    )
+
+
+@register("car_fuser_mbr")  # rotating-calipers MBR: no SQL oracle (rows-only)
+def q_car_fuser_mbr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CarFuser with the TRUE rotated minimum bounding rectangle
+    (reference car_fuser.py:76-85): per dimension-window cluster, the
+    rotating-calipers MBR is clipped against each road strip
+    (Sutherland–Hodgman + shoelace — exact convex∩rect areas) and
+    clusters with > 20 % road overlap get the CAR label. Grouped-map
+    NumPy (MBR is not SQL-expressible); geometry validated against
+    hand-computed cases in tests/test_geometry.py."""
+    from .operators.geometry import mbr_road_overlap
+    from .sources.layers import road_strips
+
+    stats = cluster_stats(_ground_with_comp(spark, sf_dir, grid=_DIM_GRID))
+    ext_x = F.col("x_max") - F.col("x_min")
+    ext_y = F.col("y_max") - F.col("y_min")
+    dims = stats.filter(
+        (F.col("n_points") >= 3) & (ext_x <= 20.0) & (ext_y <= 20.0)
+    ).select("component")
+    members = _ground_with_comp(spark, sf_dir, grid=_DIM_GRID).join(
+        F.broadcast(dims), "component"
+    )
+    overlap = mbr_road_overlap(members, road_strips())
+    return overlap.filter(F.col("road_pct") > 20.0).select(
+        "component", "n_points", "mbr_area", "road_pct",
+        F.lit(40).alias("label"),
     )
 
 
