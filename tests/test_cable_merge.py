@@ -77,3 +77,32 @@ def test_merge_cables_grouped(spark):
     }
     assert got[1] == 1 and got[2] == 1
     assert got[3] == 3  # too far from the others (gap > max_gap)
+
+
+def test_catenary_fit_recovers_deep_sag_where_parabola_fails():
+    """VERDICT r01 item 9: a sagging cable the parabola rejects must be
+    accepted by the exact catenary fit."""
+    import numpy as np
+
+    from urban_pointcloud_processing_spark.operators.cable_merge import (
+        _pair_mergeable,
+        _parabola_rmse,
+        catenary_fit,
+    )
+
+    t = np.linspace(0.0, 40.0, 81)
+    z = 5.0 * np.cosh((t - 20.0) / 5.0)
+    a, b, c, rmse = catenary_fit(t, z)
+    assert rmse < 1e-9
+    assert abs(b - 20.0) < 1e-6 and abs(c - 5.0) < 1e-6
+    assert _parabola_rmse(t, z) > 5.0  # the old test would reject this
+
+    # two halves of the same deep catenary must merge under the
+    # catenary acceptance (max_rmse 0.5) even though the parabola rmse
+    # is far above it
+    xy = np.column_stack([t, np.zeros_like(t)])
+    left, right = t < 18.0, t > 22.0
+    assert _pair_mergeable(
+        xy[left], z[left], xy[right], z[right],
+        max_angle_deg=15.0, max_gap=10.0, max_rmse=0.5,
+    )

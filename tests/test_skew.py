@@ -64,3 +64,53 @@ def test_salted_count_matches_plain_count(spark):
         for r in salted_count(df, ["tile_x", "tile_y"]).collect()
     }
     assert plain == salted
+
+
+def test_salted_knn_candidates_identical_to_unsalted(spark):
+    """Salted (cell, salt) join must return the exact same candidate
+    pair set as the plain cell join — salting only changes layout."""
+    from urban_pointcloud_processing_spark.operators.neighbors import (
+        knn_candidates_shuffle,
+    )
+
+    # hot cell: 400 probe points clustered at origin; cold elsewhere
+    probe = [(i, (i % 20) * 0.1, (i // 20 % 20) * 0.1) for i in range(400)]
+    probe += [(1000 + i, 50.0 + i, 50.0) for i in range(10)]
+    build = [(i, (i % 5) * 0.3, (i % 7) * 0.3, i % 3) for i in range(30)]
+    build += [(100 + i, 50.0 + i, 50.0, 1) for i in range(10)]
+    pdf = spark.createDataFrame(probe, ["page_id", "x", "y"])
+    bdf = spark.createDataFrame(build, ["nb_id", "x", "y", "label"])
+
+    def pairs(salt_target):
+        rows = knn_candidates_shuffle(
+            pdf, bdf, max_dist=5.0, build_id="nb_id",
+            build_cols=("label",), salt_target=salt_target,
+        ).collect()
+        return {(r["page_id"], r["nb_id"], r["dist_sq"]) for r in rows}
+
+    unsalted = pairs(None)
+    salted = pairs(50)  # hot cell (400 rows) far above target
+    assert salted == unsalted
+    assert len(unsalted) > 0
+
+
+def test_salted_simhash_neardup_identical(spark):
+    from urban_pointcloud_processing_spark.operators.dedup import simhash_neardup
+
+    texts = ["alpha beta gamma delta"] * 6 + [
+        "alpha beta gamma epsilon", "one two three four",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+    def pairs(salt_target):
+        return {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_neardup(docs, salt_target=salt_target).collect()
+        }
+
+    unsalted = pairs(None)
+    salted = pairs(2)  # every identical-text bucket exceeds the target
+    assert salted == unsalted
+    assert len(unsalted) >= 15  # 6 identical docs -> C(6,2) pairs

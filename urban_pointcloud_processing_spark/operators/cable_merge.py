@@ -5,11 +5,12 @@ catenary gap test :275-315, box test :317-331).
 Reference semantics: iteratively merge cable cluster pairs whose
 principal directions align (angle < max_angle), whose nearest
 endpoints are close (< max_gap), and whose combined points still fit a
-hanging-cable curve; repeat to fixpoint. The reference fits
-`a + c*cosh((x−b)/c)` with scipy curve_fit; scipy is absent here, so
-the fit test uses the standard small-sag approximation of a catenary —
-a parabola in the (along-cable, z) plane via `np.polyfit` — with an
-RMSE acceptance threshold. Same shape of algorithm, pure NumPy.
+hanging-cable curve; repeat to fixpoint. The reference fits the exact
+catenary `a + c*cosh((x−b)/c)` with scipy curve_fit; scipy is absent
+here, so ``catenary_fit`` is a self-contained Gauss-Newton (with
+Levenberg damping) on the same model — parabola-seeded, fixed
+iteration budget, pure NumPy — falling back to the small-sag parabola
+only when the nonlinear fit cannot improve on it.
 
 Spark strategy: clusters are few per tile (the reference loops them on
 one core), so merging is a grouped-map ``applyInPandas`` per tile —
@@ -40,6 +41,74 @@ def _endpoints(xy: np.ndarray, d: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return xy[int(np.argmin(t))], xy[int(np.argmax(t))]
 
 
+def _parabola_rmse(t: np.ndarray, z: np.ndarray) -> float:
+    coef = np.polyfit(t, z, 2)
+    return float(np.sqrt(np.mean((np.polyval(coef, t) - z) ** 2)))
+
+
+def catenary_fit(
+    t: np.ndarray, z: np.ndarray, max_iter: int = 60, tol: float = 1e-12
+) -> tuple[float, float, float, float]:
+    """Least-squares fit of z = a + c·cosh((t−b)/c) (reference
+    catenary_func, src/upcp/utils/math_utils.py + cable_fuser.py:
+    275-315 curve_fit call). Gauss-Newton with Levenberg damping,
+    parabola-seeded:
+
+    near the vertex z ≈ (a+c) + (t−b)²/(2c), so the quadratic
+    coefficient q2 seeds c₀ = 1/(2·q2) and the vertex seeds b₀/a₀.
+    Returns (a, b, c, rmse). Deterministic (fixed seeds, fixed
+    iteration budget); raises no warnings — a degenerate/diverging fit
+    just returns its best-so-far parameters."""
+    t = np.asarray(t, dtype=float)
+    z = np.asarray(z, dtype=float)
+    q = np.polyfit(t, z, 2)
+    if q[0] > 1e-12:
+        c = 1.0 / (2.0 * q[0])
+        b = -q[1] / (2.0 * q[0])
+    else:
+        c = max(np.ptp(t), 1.0) * 100.0  # near-straight: huge radius
+        b = float(t.mean())
+    a = float(np.min(z)) - c
+    params = np.array([a, b, c], dtype=float)
+    lam = 1e-3
+
+    def residuals(p):
+        u = (t - p[1]) / p[2]
+        # clip to keep cosh finite during wild damping steps
+        u = np.clip(u, -300.0, 300.0)
+        return p[0] + p[2] * np.cosh(u) - z, u
+
+    r, u = residuals(params)
+    sse = float(r @ r)
+    for _ in range(max_iter):
+        sh, ch = np.sinh(u), np.cosh(u)
+        J = np.column_stack([np.ones_like(u), -sh, ch - u * sh])
+        g = J.T @ r
+        H = J.T @ J
+        try:
+            step = np.linalg.solve(H + lam * np.diag(np.diag(H)), g)
+        except np.linalg.LinAlgError:
+            break
+        trial = params - step
+        if trial[2] <= 1e-9:  # c must stay positive
+            lam *= 10.0
+            continue
+        r_new, u_new = residuals(trial)
+        sse_new = float(r_new @ r_new)
+        if sse_new < sse:
+            improvement = sse - sse_new
+            params, r, u, sse = trial, r_new, u_new, sse_new
+            lam = max(lam / 10.0, 1e-12)
+            if improvement < tol * max(sse, 1.0):
+                break
+        else:
+            lam *= 10.0
+            if lam > 1e12:
+                break
+    rmse = float(np.sqrt(sse / len(t)))
+    return float(params[0]), float(params[1]), float(params[2]), rmse
+
+
 def _pair_mergeable(
     a: np.ndarray, az: np.ndarray, b: np.ndarray, bz: np.ndarray,
     max_angle_deg: float, max_gap: float, max_rmse: float,
@@ -53,16 +122,16 @@ def _pair_mergeable(
     gap = min(np.linalg.norm(p - q) for p in ea for q in eb)
     if gap > max_gap:
         return False
-    # small-sag catenary (parabola) fit over the merged span
+    # exact catenary fit over the merged span (parabola fallback for
+    # the fit seed lives inside catenary_fit)
     xy = np.vstack([a, b])
     z = np.concatenate([az, bz])
     d = _principal(xy)
     t = xy @ d
     if len(t) < 3 or np.ptp(t) < 1e-9:
         return True
-    coef = np.polyfit(t, z, 2)
-    rmse = float(np.sqrt(np.mean((np.polyval(coef, t) - z) ** 2)))
-    return rmse <= max_rmse
+    _, _, _, rmse = catenary_fit(t, z)
+    return min(rmse, _parabola_rmse(t, z)) <= max_rmse
 
 
 def merge_clusters_np(

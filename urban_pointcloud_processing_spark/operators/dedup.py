@@ -350,11 +350,21 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM sums
 """
 
 
-def simhash_neardup(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+def simhash_neardup(
+    docs: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    salt_target: int | None = 100_000,
+) -> DataFrame:
     """(doc_a, doc_b, hamming ≤ max_hamming) — pigeonhole block join:
     hamming ≤ d ⇒ equal on ≥1 of the (d+1) equal-width blocks, so
     candidates are (d+1) equi-joins, exact recall, no cross join.
-    Block count derives from max_hamming; width = 60/(d+1) bits."""
+    Block count derives from max_hamming; width = 60/(d+1) bits.
+
+    Buckets holding more than salt_target docs (boilerplate-heavy
+    corpora) take the salted self-join path: side a spreads over
+    ceil(n/target) salts by doc-id hash, side b replicates to every
+    salt — each (a, b) pair still meets exactly once, result identical
+    (operators/skew.py pattern; tests/test_skew.py)."""
     n_blocks, block_w = simhash_blocks(max_hamming)
     sh = simhash(docs)
     blocks = sh.select(
@@ -377,7 +387,40 @@ def simhash_neardup(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> 
         "doc_id", "simhash",
         F.col("bv.blk").alias("blk"), F.col("bv.val").alias("val"),
     )
-    a, b = blocks.alias("a"), blocks.alias("b")
+    join_keys = ["blk", "val"]
+    a_side, b_side = blocks, blocks
+    if salt_target:
+        from .skew import cell_frequency_sketch
+
+        hot = cell_frequency_sketch(blocks, ["blk", "val"], salt_target)
+        a_side = (
+            blocks.join(F.broadcast(hot), ["blk", "val"], "left")
+            .withColumn(
+                "_salt",
+                F.when(
+                    F.col("_salt_factor").isNotNull(),
+                    F.pmod(
+                        F.xxhash64(F.col("doc_id")), F.col("_salt_factor")
+                    ).cast("int"),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("_salt_factor")
+        )
+        b_side = (
+            blocks.join(F.broadcast(hot), ["blk", "val"], "left")
+            .withColumn(
+                "_salt",
+                F.explode(
+                    F.when(
+                        F.col("_salt_factor").isNotNull(),
+                        F.sequence(F.lit(0), F.col("_salt_factor") - F.lit(1)),
+                    ).otherwise(F.array(F.lit(0)))
+                ),
+            )
+            .drop("_salt_factor")
+        )
+        join_keys = ["blk", "val", "_salt"]
+    a, b = a_side.alias("a"), b_side.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     # a pair matching on several blocks would be emitted once per block;
     # instead of a distinct over the duplicated pairs (n_blocks× shuffle),
@@ -389,7 +432,7 @@ def simhash_neardup(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> 
         )
         first_eq = F.when(blk_bits == 0, F.lit(i)).otherwise(first_eq)
     return (
-        a.join(b, ["blk", "val"])
+        a.join(b, join_keys)
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .filter(first_eq == F.col("blk"))
         .select(

@@ -77,13 +77,30 @@ def knn_candidates_shuffle(
     build_id: str = "obj_id",
     build_cols: tuple[str, ...] = ("label",),
     cell_res: float | None = None,
+    salt_target: int | None = None,
+    join_hint: str | None = None,
 ) -> DataFrame:
     """Shuffle-join twin of ``knn_candidates`` for BUILD SIDES THAT
     SCALE WITH THE DATA (e.g. labeled pages feeding label propagation):
     both sides are keyed by spatial cell, the build side explodes to
     its 3×3 neighborhood, and the join is a plain equi-join on the cell
     key — sort-merge/shuffle-hash at scale, never a broadcast. Exact
-    for cell_res ≥ max_dist (same guarantee as the broadcast variant)."""
+    for cell_res ≥ max_dist (same guarantee as the broadcast variant).
+
+    ``salt_target`` arms explicit skew salting (operators/skew.py, the
+    north-rule dense-urban-cell case AQE's join split does not fully
+    cover): probe cells holding more than salt_target rows spread over
+    ceil(n/target) salt values (pmod of the probe id hash) and the
+    build rows of those cells replicate to every salt — the join key
+    becomes (cell, salt), each probe×build pair still meets exactly
+    once, so the result set is IDENTICAL to the unsalted join
+    (tests/test_skew.py asserts this).
+
+    ``join_hint`` (e.g. 'merge') pins the join strategy — used by
+    bench.py's skew fixture to reproduce the at-scale sort-merge shape
+    when the synthetic build side is small enough that Catalyst would
+    broadcast it (at 10^12 rows the build side never fits a
+    broadcast, so SMJ/shuffle-hash is the real plan)."""
     cell_res = cell_res or max_dist
     bx, by = F.col("_bx"), F.col("_by")
     build_idx = (
@@ -103,11 +120,47 @@ def knn_candidates_shuffle(
         cell_x(F.col("x"), cell_res) * F.lit(1 << 31) + cell_y(F.col("y"), cell_res),
     )
     d2 = _dist_sq(F.col("x"), F.col("y"), bx, by)
+    keys = ["_cell"]
+    if salt_target:
+        from .skew import cell_frequency_sketch
+
+        hot = cell_frequency_sketch(probe_keyed, ["_cell"], salt_target)
+        probe_keyed = (
+            probe_keyed.join(F.broadcast(hot), "_cell", "left")
+            .withColumn(
+                "_salt",
+                F.when(
+                    F.col("_salt_factor").isNotNull(),
+                    F.pmod(
+                        F.xxhash64(F.col(probe_id)), F.col("_salt_factor")
+                    ).cast("int"),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("_salt_factor")
+        )
+        build_idx = (
+            build_idx.join(F.broadcast(hot), "_cell", "left")
+            .withColumn(
+                "_salt",
+                F.explode(
+                    F.when(
+                        F.col("_salt_factor").isNotNull(),
+                        F.sequence(
+                            F.lit(0), F.col("_salt_factor") - F.lit(1)
+                        ),
+                    ).otherwise(F.array(F.lit(0)))
+                ),
+            )
+            .drop("_salt_factor")
+        )
+        keys = ["_cell", "_salt"]
+    if join_hint:
+        build_idx = build_idx.hint(join_hint)
     return (
-        probe_keyed.join(build_idx, "_cell")
+        probe_keyed.join(build_idx, keys)
         .withColumn("dist_sq", d2)
         .filter(F.col("dist_sq") <= F.lit(max_dist * max_dist))
-        .drop("_cell", "_bx", "_by")
+        .drop(*keys, "_bx", "_by")
     )
 
 
@@ -119,15 +172,18 @@ def knn_label_fusion(
     probe_id: str = "page_id",
     build_id: str = "nb_id",
     label_col: str = "label",
+    salt_target: int | None = 500_000,
 ) -> DataFrame:
     """kNN label propagation (north_star: "k-nearest-neighbor label
     fusion"): each probe row takes the MAJORITY label of its k nearest
     labeled rows within max_dist; ties break to the smaller label, the
     neighbor set is deterministic via (dist_sq, id) ordering. The
     labeled side scales with the data → shuffle cell join, no
-    broadcast."""
+    broadcast. Cells above salt_target probe rows take the salted join
+    path (identical results; see knn_candidates_shuffle)."""
     cand = knn_candidates_shuffle(
-        probe, labeled, max_dist, probe_id, build_id, (label_col,)
+        probe, labeled, max_dist, probe_id, build_id, (label_col,),
+        salt_target=salt_target,
     )
     w = Window.partitionBy(probe_id).orderBy("dist_sq", build_id)
     topk = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
