@@ -310,6 +310,88 @@ def _run_skew() -> dict:
     return out
 
 
+def _run_subquad() -> None:
+    """Candidate-pair growth evidence (VERDICT r01 item 4): count LSH /
+    pigeonhole candidate pairs at sf0.01 and sf0.1 (10x docs). A
+    quadratic candidate generator grows ~100x; the bucketed paths must
+    grow far slower."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from urban_pointcloud_processing_spark.operators import dedup as D
+    from urban_pointcloud_processing_spark.operators import similarity as S
+    from urban_pointcloud_processing_spark.session import get_spark
+    from urban_pointcloud_processing_spark.sources.pages import spread_small_scan
+
+    spark = get_spark(master=f"local[{CPUS}]", app_name="upcp-subquad")
+    out = {}
+    for sf in ("sf0.01", "sf0.1"):
+        d = f"/root/testdata/{sf}"
+        docs = spread_small_scan(spark.read.parquet(f"{d}/documents.parquet"))
+        embs = spread_small_scan(spark.read.parquet(f"{d}/embeddings.parquet"))
+        n_docs = docs.count()
+        # simhash pigeonhole block-join candidates (pre-hamming-filter)
+        n_blocks, block_w = D.simhash_blocks(D.SIMHASH_MAX_HAMMING)
+        sh = D.simhash(docs)
+        blocks = sh.select(
+            "doc_id",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftright(F.col("simhash"), i * block_w)
+                    .bitwiseAND(F.lit((1 << block_w) - 1)).alias("val"),
+                )
+                for i in range(n_blocks)
+            ])).alias("bv"),
+        ).select("doc_id", "bv.blk", "bv.val")
+        a, b = blocks.alias("a"), blocks.alias("b")
+        sim_cand = (
+            a.join(b, ["blk", "val"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id")).count()
+        )
+        # hyperplane-LSH band-join candidates for cosine near-dup
+        base = embs.select(
+            "vec_id", S.hp_signature_udf()(F.col("embedding")).alias("sig")
+        )
+        band_w = S.HP_BITS // S.HP_BANDS
+        bands = base.select(
+            "vec_id",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright(F.col("sig"), i * band_w)
+                    .bitwiseAND(F.lit((1 << band_w) - 1)).alias("val"),
+                )
+                for i in range(S.HP_BANDS)
+            ])).alias("bv"),
+        ).select("vec_id", "bv.band", "bv.val")
+        av, bv = bands.alias("a"), bands.alias("b")
+        cos_cand = (
+            av.join(bv, ["band", "val"])
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id"), F.col("b.vec_id")).distinct().count()
+        )
+        out[sf] = {
+            "n_docs": n_docs,
+            "simhash_block_cands": sim_cand,
+            "cosine_lsh_cands": cos_cand,
+        }
+    spark.stop()
+    g = lambda k: out["sf0.1"][k] / max(out["sf0.01"][k], 1)  # noqa: E731
+    print(json.dumps({
+        "metric": "candidate-pair growth sf0.01 -> sf0.1 (10x docs; "
+                  "quadratic would be ~100x)",
+        "value": round(g("simhash_block_cands"), 2),
+        "unit": "x",
+        "growth": {
+            "docs": round(g("n_docs"), 2),
+            "simhash_block_cands": round(g("simhash_block_cands"), 2),
+            "cosine_lsh_cands": round(g("cosine_lsh_cands"), 2),
+        },
+        "counts": out,
+    }))
+
+
 def _run_suite(names: list[str]) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from urban_pointcloud_processing_spark import queries as Q
@@ -340,6 +422,10 @@ def _run_suite(names: list[str]) -> dict:
 def main() -> None:
     if "--scaling-exec" in sys.argv:
         _scaling_worker()
+        return
+
+    if "--subquad" in sys.argv:
+        _run_subquad()
         return
 
     if "--skew" in sys.argv:

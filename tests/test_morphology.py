@@ -65,3 +65,58 @@ def test_cluster_morphology_grouped(spark):
     # the center) → two small regions
     iso = [k for k in got if k[0] == 1 and k[1] > 0]
     assert len(iso) == 2
+
+
+def test_search_armaturen_detects_hanging_blob(spark):
+    """Straight cable at z=10 along x; a dense 1x1 m blob hanging 1 m
+    below it at x~20 must be detected and accepted; a far-off-axis blob
+    must be rejected by the axis-offset gate."""
+    import numpy as np
+
+    from urban_pointcloud_processing_spark.operators.morphology import (
+        search_armaturen,
+    )
+
+    rows = []
+    # cable points: every 0.25 m along x in [0, 40], y=0, z=10
+    for i in range(161):
+        rows.append((1, i * 0.25, 0.0, 10.0, True))
+    # hanging blob: 1x1x1 m cube of points centered (20, 0, 8.5)
+    for ix in range(5):
+        for iy in range(5):
+            for iz in range(5):
+                rows.append((1, 19.5 + ix * 0.25, -0.5 + iy * 0.25,
+                             8.0 + iz * 0.25, False))
+    # off-axis blob at u ~ 2.5 m (inside w_buffer, beyond max_axis_off 2)
+    for ix in range(5):
+        for iy in range(5):
+            for iz in range(5):
+                rows.append((1, 30.0 + ix * 0.25, 2.0 + iy * 0.25,
+                             8.0 + iz * 0.25, False))
+    df = spark.createDataFrame(rows, ["cluster_id", "x", "y", "z", "is_cable"])
+    got = search_armaturen(
+        df, voxel=0.25, w_buffer=3.0, max_axis_off=2.0,
+        width_window=(0.5, 3.0), height_window=(0.5, 3.0),
+    ).collect()
+    assert len(got) >= 1
+    accepted = [r for r in got if r["accepted"] == 1]
+    rejected = [r for r in got if r["accepted"] == 0]
+    assert len(accepted) >= 1, got
+    a = accepted[0]
+    assert 0.5 <= a["width"] <= 2.5 and 0.5 <= a["height"] <= 2.5
+    assert a["z_off"] > 0.25  # hangs below the cable line
+    assert a["axis_off"] < 2.0
+    # the off-axis blob appears but is NOT accepted
+    assert any(r["axis_off"] >= 2.0 for r in rejected), got
+
+
+def test_search_armaturen_no_blob_no_detection(spark):
+    from urban_pointcloud_processing_spark.operators.morphology import (
+        search_armaturen,
+    )
+
+    rows = [(1, i * 0.25, 0.0, 10.0, True) for i in range(81)]
+    rows += [(1, 5.0, 1.0, 9.9, False)]  # lone point, not enough voxels
+    df = spark.createDataFrame(rows, ["cluster_id", "x", "y", "z", "is_cable"])
+    got = search_armaturen(df, voxel=0.25).collect()
+    assert all(r["accepted"] == 0 for r in got)

@@ -113,6 +113,204 @@ MORPH_SCHEMA = StructType(
 )
 
 
+ARMATUUR_SCHEMA = StructType(
+    [
+        StructField("cluster_id", LongType()),
+        StructField("armatuur_id", IntegerType()),
+        StructField("n_slices", IntegerType()),
+        StructField("n_voxels", LongType()),
+        StructField("width", DoubleType()),
+        StructField("height", DoubleType()),
+        StructField("axis_off", DoubleType()),
+        StructField("z_off", DoubleType()),
+        StructField("accepted", IntegerType()),
+    ]
+)
+
+
+def _binned_line(tc: np.ndarray, vc: np.ndarray, binwidth: float):
+    """1-D binned-mean line fit (reference _linestring_cable_fit,
+    cable_fuser.py:430-460: binned_statistic mean per along-axis bin,
+    NaN bins dropped, linear interpolation between bin centers)."""
+    t0, t1 = float(tc.min()), float(tc.max())
+    nb = max(int(round((t1 - t0) / binwidth)) + 1, 1)
+    idx = np.clip(((tc - t0) / binwidth).astype(int), 0, nb - 1)
+    sums = np.bincount(idx, weights=vc, minlength=nb)
+    cnts = np.bincount(idx, minlength=nb)
+    ok = cnts > 0
+    centers = t0 + (np.arange(nb)[ok] + 0.5) * binwidth
+    means = sums[ok] / cnts[ok]
+
+    def at(t):
+        return np.interp(t, centers, means)
+
+    return at
+
+
+def _empty_arm() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "cluster_id": pd.Series(dtype="int64"),
+            "armatuur_id": pd.Series(dtype="int32"),
+            "n_slices": pd.Series(dtype="int32"),
+            "n_voxels": pd.Series(dtype="int64"),
+            "width": pd.Series(dtype="float64"),
+            "height": pd.Series(dtype="float64"),
+            "axis_off": pd.Series(dtype="float64"),
+            "z_off": pd.Series(dtype="float64"),
+            "accepted": pd.Series(dtype="int32"),
+        }
+    )
+
+
+def search_armaturen(
+    points: DataFrame,
+    voxel: float = 0.5,
+    slice_width: int = 3,
+    w_buffer: float = 3.0,
+    h_below: float = 4.0,
+    h_above: float = 1.0,
+    min_below: int = 3,
+    min_voxels: int = 3,
+    width_window: tuple[float, float] = (0.5, 6.0),
+    height_window: tuple[float, float] = (0.5, 6.0),
+    max_axis_off: float = 3.0,
+    min_z_off: float = 0.25,
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Armatuur (hanging-object) search per cable cluster (reference
+    _search_armaturen, cable_fuser.py:576-673), one grouped-map per
+    cluster over (cluster_id, x, y, z, is_cable):
+
+    1. rotate to the cable frame (principal axis t, cross axis u);
+    2. fit the cable's u(t)/z(t) lines by 1-D binned means (§2.4's
+       "1-D binned statistic" — reference _linestring_cable_fit);
+    3. clip the non-cable neighborhood around the lines;
+    4. voxelize; per slice_width-voxel slice along t: require points
+       below the cable, morphologically close the (u, z) occupancy,
+       label regions, and test each region's bounding box (width /
+       height windows, axis offset, hang depth z_off);
+    5. merge accepted detections across adjacent slices (union-find)
+       into armatuur blobs.
+
+    Deviation from the reference, documented: the sagging-angle gate
+    (min_cable_bending) is omitted — the synthetic cables are straight,
+    so the gate would reject everything; the stencil that computes it
+    exists as the stencil_lag_lead query."""
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_cols = [
+            "cluster_id", "armatuur_id", "n_slices", "n_voxels",
+            "width", "height", "axis_off", "z_off", "accepted",
+        ]
+        cl = int(pdf[cluster_col].iloc[0])
+        cable = pdf[pdf["is_cable"]]
+        rest = pdf[~pdf["is_cable"]]
+        if len(cable) < 2 or len(rest) == 0:
+            return _empty_arm()
+        cxy = cable[["x", "y"]].to_numpy(float)
+        mean = cxy.mean(axis=0)
+        c = cxy - mean
+        cov = c.T @ c / len(c)
+        w, v = np.linalg.eigh(cov)
+        d = v[:, int(np.argmax(w))]
+        perp = np.array([-d[1], d[0]])
+        tc, uc = c @ d, c @ perp
+        zc = cable["z"].to_numpy(float)
+        u_at = _binned_line(tc, uc, 4 * voxel)
+        z_at = _binned_line(tc, zc, 4 * voxel)
+
+        rxy = rest[["x", "y"]].to_numpy(float) - mean
+        rt, ru = rxy @ d, rxy @ perp
+        rz = rest["z"].to_numpy(float)
+        du = ru - u_at(rt)
+        dz = rz - z_at(rt)
+        keep = (np.abs(du) < w_buffer) & (dz > -h_below) & (dz < h_above)
+        rt, du, dz = rt[keep], du[keep], dz[keep]
+        if len(rt) == 0:
+            return _empty_arm()
+        ti = np.floor(rt / voxel).astype(int)
+        ui = np.floor(du / voxel).astype(int)
+        zi = np.floor(dz / voxel).astype(int)
+        t0, u0, z0 = ti.min(), ui.min(), zi.min()
+        ti, ui, zi = ti - t0, ui - u0, zi - z0
+        nu, nz = ui.max() + 1, zi.max() + 1
+
+        detections = []  # (slice_idx, u_lo, u_hi, n_vox, w, h, ax, zo, ok)
+        n_slices_total = ti.max() // slice_width + 1
+        for s in range(n_slices_total):
+            in_sl = (ti >= s * slice_width) & (ti < (s + 1) * slice_width)
+            if not in_sl.any():
+                continue
+            grid = np.zeros((nu + 8, nz + 8), dtype=bool)
+            grid[ui[in_sl] + 4, zi[in_sl] + 4] = True
+            # below-cable density gate: dz < 0 voxels
+            below = int((zi[in_sl] + z0 < 0).sum())
+            if below < min_below:
+                continue
+            closed = binary_erode(binary_dilate(grid, 2), 2)
+            labels, n = label_regions(closed)
+            for r in range(1, n + 1):
+                ii, jj = np.nonzero(labels == r)
+                if len(ii) < min_voxels:
+                    continue
+                width = float((ii.max() - ii.min() + 1) * voxel)
+                height = float((jj.max() - jj.min() + 1) * voxel)
+                cu = (ii.min() + ii.max()) / 2.0 - 4 + u0 + 0.5
+                cz = (jj.min() + jj.max()) / 2.0 - 4 + z0 + 0.5
+                axis_off = abs(cu * voxel)       # u-line is at du = 0
+                z_off = -cz * voxel              # hang depth below line
+                ok = (
+                    width_window[0] <= width < width_window[1]
+                    and height_window[0] <= height < height_window[1]
+                    and axis_off < max_axis_off
+                    and z_off > max(min_z_off, height / 2)
+                )
+                detections.append(
+                    (s, ii.min(), ii.max(), len(ii), width, height,
+                     axis_off, z_off, ok)
+                )
+        if not detections:
+            return _empty_arm()
+        # cross-slice merge: adjacent slices with overlapping u-extents
+        parent = list(range(len(detections)))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for i, a in enumerate(detections):
+            for j in range(i + 1, len(detections)):
+                b = detections[j]
+                if abs(a[0] - b[0]) == 1 and a[1] <= b[2] and b[1] <= a[2]:
+                    ra, rb = find(i), find(j)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        blobs: dict[int, list[tuple]] = {}
+        for i, det in enumerate(detections):
+            blobs.setdefault(find(i), []).append(det)
+        rows = []
+        for bid, (_, dets) in enumerate(sorted(blobs.items())):
+            rows.append(
+                (
+                    cl, bid, len({d[0] for d in dets}),
+                    int(sum(d[3] for d in dets)),
+                    round(max(d[4] for d in dets), 6),
+                    round(max(d[5] for d in dets), 6),
+                    round(min(d[6] for d in dets), 6),
+                    round(max(d[7] for d in dets), 6),
+                    int(any(d[8] for d in dets)),
+                )
+            )
+        return pd.DataFrame(rows, columns=out_cols)
+
+    return points.groupBy(cluster_col).applyInPandas(
+        per_cluster, schema=ARMATUUR_SCHEMA
+    )
+
+
 def cluster_morphology(
     with_comp: DataFrame,
     voxel: float = 1.0,

@@ -1230,6 +1230,56 @@ def q_cable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_cables(members, group_col=None)
 
 
+@register("armatuur_search")  # grouped-map NumPy composite: rows-only
+def q_armatuur_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Armatuur (hanging-object) search composite (reference
+    _search_armaturen, cable_fuser.py:576-673): per cable cluster,
+    rotate to the cable frame, fit the u(t)/z(t) lines by 1-D binned
+    means, clip the non-cable neighborhood, then slice-wise
+    close→label→bounding-box tests and cross-slice blob merge.
+    Semantics validated on constructed cable+blob fixtures in
+    tests/test_morphology.py."""
+    from .operators.morphology import search_armaturen
+
+    pages = pages_from_orders(spark, sf_dir)
+    feats = pca_cell_features(pages, 5.0, 3)
+    cables = feats.filter(
+        (F.col("linearity") > 0.9) & (F.col("n_points") >= 4)
+    ).select("cell_x", "cell_y",
+             (F.col("cell_x") * F.lit(100000) + F.col("cell_y")).alias(
+                 "cluster_id"))
+    keyed = pages.withColumns(
+        {
+            "cell_x": F.floor(F.col("x") / 5.0).cast("long"),
+            "cell_y": F.floor(F.col("y") / 5.0).cast("long"),
+        }
+    )
+    members = keyed.join(
+        F.broadcast(cables.select("cell_x", "cell_y", "cluster_id")),
+        ["cell_x", "cell_y"],
+    ).select("cluster_id", "x", "y", "z", F.lit(True).alias("is_cable"))
+    # non-cable neighborhood: nearest cable cluster within 10 m
+    # (the cable_grow attachment join)
+    from .operators.neighbors import nearest_match
+
+    outside = keyed.join(
+        cables.select("cell_x", "cell_y"), ["cell_x", "cell_y"], "left_anti"
+    )
+    centers = cables.select(
+        "cluster_id",
+        (F.col("cell_x") * 5.0 + 2.5).alias("x"),
+        (F.col("cell_y") * 5.0 + 2.5).alias("y"),
+    )
+    grown = nearest_match(
+        outside, centers, max_dist=10.0, build_id="cluster_id",
+        build_cols=(),
+    ).select("page_id", "cluster_id")
+    neighborhood = grown.join(
+        keyed.select("page_id", "x", "y", "z"), "page_id"
+    ).select("cluster_id", "x", "y", "z", F.lit(False).alias("is_cable"))
+    return search_armaturen(members.unionByName(neighborhood))
+
+
 # ----------------------------------------------------------------------
 # Tram-cable classification (reference _classify_tram_cables,
 # cable_fuser.py:462-503): a cable cluster is a TRAM cable when its
