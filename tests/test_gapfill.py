@@ -63,3 +63,31 @@ def test_fill_building_gaps_grouped(spark):
     assert oracle[row["gx"] - gx0, row["gy"] - gy0] == pytest.approx(
         row["building_z"]
     )
+
+
+def test_fill_grid_linear_interpolates_and_gates():
+    import numpy as np
+
+    from urban_pointcloud_processing_spark.operators.gapfill import (
+        fill_grid_linear,
+    )
+
+    # row: anchors 0.0 at col0 and 3.0 at col3 -> linear 1.0, 2.0 between
+    g = np.full((1, 8), np.nan)
+    g[0, 0], g[0, 3] = 0.0, 3.0
+    out = fill_grid_linear(g, max_gap=6)
+    assert out[0, 1] == 1.0 and out[0, 2] == 2.0
+    assert np.isnan(out[0, 5])  # beyond the last anchor: not filled
+
+    # gap wider than max_gap stays NaN
+    g2 = np.full((1, 12), np.nan)
+    g2[0, 0], g2[0, 11] = 0.0, 11.0
+    out2 = fill_grid_linear(g2, max_gap=6)
+    assert np.isnan(out2[0, 5])
+
+    # both-axis average: cross of anchors
+    g3 = np.full((3, 3), np.nan)
+    g3[1, 0], g3[1, 2] = 0.0, 2.0   # row anchors -> 1.0 at center
+    g3[0, 1], g3[2, 1] = 4.0, 6.0   # col anchors -> 5.0 at center
+    out3 = fill_grid_linear(g3, max_gap=6)
+    assert out3[1, 1] == 3.0  # mean(1.0, 5.0)

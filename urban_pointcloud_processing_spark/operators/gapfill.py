@@ -68,6 +68,43 @@ def fill_grid(grid: np.ndarray, max_rounds: int = 2) -> np.ndarray:
     return g
 
 
+def fill_grid_linear(grid: np.ndarray, max_gap: int = 6) -> np.ndarray:
+    """Separable linear interpolation fill (the scipy-free analog of
+    reference fill_gaps' griddata(method='linear'), ahn_utils.py:
+    346-400): every NaN cell whose nearest valid anchors along a row or
+    column span ≤ max_gap cells gets the distance-weighted linear
+    value; where both row and column estimates exist they average.
+    Gaps wider than max_gap stay NaN (the reference's max_gap_size
+    region gate)."""
+    g = grid.astype(np.float64, copy=True)
+
+    def axis_fill(a: np.ndarray) -> np.ndarray:
+        out = np.full_like(a, np.nan)
+        for i in range(a.shape[0]):
+            row = a[i]
+            valid = np.where(~np.isnan(row))[0]
+            if len(valid) < 2:
+                continue
+            nan_idx = np.where(np.isnan(row))[0]
+            inside = nan_idx[(nan_idx > valid[0]) & (nan_idx < valid[-1])]
+            if len(inside) == 0:
+                continue
+            left = valid[np.searchsorted(valid, inside) - 1]
+            right = valid[np.searchsorted(valid, inside)]
+            ok = (right - left) <= max_gap
+            li, ri, ii = left[ok], right[ok], inside[ok]
+            t = (ii - li) / (ri - li)
+            out[i, ii] = row[li] * (1.0 - t) + row[ri] * t
+        return out
+
+    rows = axis_fill(g)
+    cols = axis_fill(g.T).T
+    both = np.nanmean(np.stack([rows, cols]), axis=0)
+    fillable = np.isnan(g) & ~np.isnan(both)
+    g[fillable] = both[fillable]
+    return g
+
+
 def fill_building_gaps(raster: DataFrame, max_rounds: int = 2) -> DataFrame:
     """Grouped-map gap fill of the building surface per tile."""
 
@@ -82,6 +119,40 @@ def fill_building_gaps(raster: DataFrame, max_rounds: int = 2) -> DataFrame:
         grid[ix, iy] = vals
         was_gap = np.isnan(vals)
         filled_grid = fill_grid(grid, max_rounds)
+        out_vals = filled_grid[ix, iy]
+        return pd.DataFrame(
+            {
+                "tilecode": pdf["tilecode"],
+                "gx": pdf["gx"].astype("int64"),
+                "gy": pdf["gy"].astype("int64"),
+                "building_z": out_vals,
+                "was_gap": was_gap,
+                "filled": was_gap & ~np.isnan(out_vals),
+            }
+        )
+
+    return raster.select(
+        "tilecode",
+        F.col("gx").cast("long").alias("gx"),
+        F.col("gy").cast("long").alias("gy"),
+        "building_z",
+    ).groupBy("tilecode").applyInPandas(per_tile, schema=FILLED_SCHEMA)
+
+
+def fill_building_gaps_linear(raster: DataFrame, max_gap: int = 6) -> DataFrame:
+    """Grouped-map LINEAR gap fill per tile (fill_grid_linear)."""
+
+    def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        gx0, gy0 = int(pdf["gx"].min()), int(pdf["gy"].min())
+        nx = int(pdf["gx"].max()) - gx0 + 1
+        ny = int(pdf["gy"].max()) - gy0 + 1
+        grid = np.full((nx, ny), np.nan)
+        ix = pdf["gx"].to_numpy(dtype=int) - gx0
+        iy = pdf["gy"].to_numpy(dtype=int) - gy0
+        vals = pdf["building_z"].to_numpy(dtype=np.float64)
+        grid[ix, iy] = vals
+        was_gap = np.isnan(vals)
+        filled_grid = fill_grid_linear(grid, max_gap)
         out_vals = filled_grid[ix, iy]
         return pd.DataFrame(
             {

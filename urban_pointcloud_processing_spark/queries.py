@@ -617,6 +617,35 @@ def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("component").agg(F.count("*").alias("n_points"))
 
 
+@register(
+    "cluster_rank",
+    f"""
+WITH RECURSIVE {_CC_BASE},
+sizes AS (
+  SELECT c.component, COUNT(*) AS n_points
+  FROM ground g JOIN comp c ON g.cx * 2147483648 + g.cy = c.cell
+  GROUP BY c.component
+)
+SELECT component, n_points,
+       CAST(row_number() OVER (ORDER BY n_points DESC, component)
+            AS BIGINT) AS size_rank
+FROM sizes
+""",
+)
+def q_cluster_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-first cluster rank (reference processes components in
+    descending size order, e.g. cable_fuser.py cluster loops;
+    deterministic (size desc, component) tie-break)."""
+    from pyspark.sql import Window
+
+    sizes = q_component_sizes(spark, sf_dir)
+    w = Window.orderBy(F.desc("n_points"), F.col("component"))
+    return sizes.select(
+        "component", "n_points",
+        F.row_number().over(w).cast("long").alias("size_rank"),
+    )
+
+
 # ----------------------------------------------------------------------
 # Training-data pipeline: text analysis over `documents`
 # (SURVEY.md §2 extension — lang-ID, quality, tokens, fingerprints)
@@ -1230,6 +1259,120 @@ def q_cable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_cables(members, group_col=None)
 
 
+def _seg_d2_sql(px: str, py: str) -> str:
+    """Squared distance from point to segment (s.x1,s.y1)-(s.x2,s.y2):
+    clamped projection, closed-form rational — identical text on both
+    engines (reference uses shapely buffer-intersects; this is the
+    equivalent distance-threshold test)."""
+    l2 = "((s.x2 - s.x1) * (s.x2 - s.x1) + (s.y2 - s.y1) * (s.y2 - s.y1))"
+    traw = (
+        f"((({px} - s.x1) * (s.x2 - s.x1) + ({py} - s.y1) * (s.y2 - s.y1))"
+        f" / {l2})"
+    )
+    t = f"LEAST(GREATEST({traw}, 0.0), 1.0)"
+    dx = f"({px} - (s.x1 + {t} * (s.x2 - s.x1)))"
+    dy = f"({py} - (s.y1 + {t} * (s.y2 - s.y1)))"
+    return f"({dx} * {dx} + {dy} * {dy})"
+
+
+# ----------------------------------------------------------------------
+# Geometric union of buffered layer polygons (reference bgt_utils.py:
+# 154-166: unary_union of Polygon.buffer(offset)). Downstream the union
+# only ever answers membership queries, and membership in the union of
+# buffered polygons is EXACTLY "inside any polygon OR within offset of
+# any polygon edge" (Minkowski sum of a polygon with a disc) — both
+# rational tests, so no geometry library and a bit-exact oracle.
+# ----------------------------------------------------------------------
+
+_PUB_OFFSET = 0.5
+
+
+@register(
+    "pip_union_buffer",
+    f"""
+WITH pts AS ({PAGES_CTE}),
+inside AS (
+  SELECT p.page_id,
+         COALESCE(BOOL_OR(sub.crossings % 2 = 1), FALSE) AS in_poly
+  FROM pts p LEFT JOIN (
+    SELECT p2.page_id, e.polygon_id,
+           SUM(CASE WHEN ((e.y1 > p2.y) != (e.y2 > p2.y))
+                     AND (p2.x < (e.x2 - e.x1) * (p2.y - e.y1)
+                          / (e.y2 - e.y1) + e.x1)
+                THEN 1 ELSE 0 END) AS crossings
+    FROM pts p2
+    JOIN {polygon_edges_values_sql()}
+      ON p2.x >= e.px_min AND p2.x <= e.px_max
+     AND p2.y >= e.py_min AND p2.y <= e.py_max
+    WHERE e.bgt_type = 'pand'
+    GROUP BY p2.page_id, e.polygon_id
+  ) sub ON sub.page_id = p.page_id
+  GROUP BY p.page_id
+),
+near AS (
+  SELECT p.page_id, TRUE AS near_edge
+  FROM pts p JOIN (
+    SELECT x1, y1, x2, y2 FROM {polygon_edges_values_sql()}
+    WHERE e.bgt_type = 'pand'
+  ) s
+    ON p.x >= LEAST(s.x1, s.x2) - {_PUB_OFFSET}
+   AND p.x <= GREATEST(s.x1, s.x2) + {_PUB_OFFSET}
+   AND p.y >= LEAST(s.y1, s.y2) - {_PUB_OFFSET}
+   AND p.y <= GREATEST(s.y1, s.y2) + {_PUB_OFFSET}
+  WHERE {_seg_d2_sql('p.x', 'p.y')} <= {_PUB_OFFSET ** 2}
+  GROUP BY p.page_id
+)
+SELECT i.page_id,
+       (i.in_poly OR COALESCE(n.near_edge, FALSE)) AS in_union
+FROM inside i LEFT JOIN near n ON n.page_id = i.page_id
+""",
+)
+def q_pip_union_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership in the buffered union of the building layer
+    (reference get_polygons(merge=True, offset>0), bgt_utils.py:
+    154-166): inside any 'pand' polygon OR within offset of any of its
+    edges. Both tests are exact rational arithmetic on both engines."""
+    pages = pages_from_orders(spark, sf_dir).select("page_id", "x", "y")
+    edges = polygon_edges_df(spark).filter(F.col("bgt_type") == "pand")
+    hits = (
+        pip_hits(pages, edges)
+        .select("page_id").distinct().withColumn("_in", F.lit(True))
+    )
+    segs = edges.select("x1", "y1", "x2", "y2")
+    box = (
+        (F.col("x") >= F.least("x1", "x2") - F.lit(_PUB_OFFSET))
+        & (F.col("x") <= F.greatest("x1", "x2") + F.lit(_PUB_OFFSET))
+        & (F.col("y") >= F.least("y1", "y2") - F.lit(_PUB_OFFSET))
+        & (F.col("y") <= F.greatest("y1", "y2") + F.lit(_PUB_OFFSET))
+    )
+    l2 = (F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1")) + (
+        F.col("y2") - F.col("y1")
+    ) * (F.col("y2") - F.col("y1"))
+    traw = (
+        (F.col("x") - F.col("x1")) * (F.col("x2") - F.col("x1"))
+        + (F.col("y") - F.col("y1")) * (F.col("y2") - F.col("y1"))
+    ) / l2
+    t = F.least(F.greatest(traw, F.lit(0.0)), F.lit(1.0))
+    dx = F.col("x") - (F.col("x1") + t * (F.col("x2") - F.col("x1")))
+    dy = F.col("y") - (F.col("y1") + t * (F.col("y2") - F.col("y1")))
+    near = (
+        pages.join(F.broadcast(segs), box)
+        .filter(dx * dx + dy * dy <= F.lit(_PUB_OFFSET ** 2))
+        .select("page_id").distinct().withColumn("_near", F.lit(True))
+    )
+    return (
+        pages.join(hits, "page_id", "left")
+        .join(near, "page_id", "left")
+        .select(
+            "page_id",
+            (
+                F.coalesce(F.col("_in"), F.lit(False))
+                | F.coalesce(F.col("_near"), F.lit(False))
+            ).alias("in_union"),
+        )
+    )
+
+
 @register("armatuur_search")  # grouped-map NumPy composite: rows-only
 def q_armatuur_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Armatuur (hanging-object) search composite (reference
@@ -1291,22 +1434,6 @@ from .sources.layers import line_segments_df, line_segments_values_sql  # noqa: 
 
 _TRAM_BUF = 2.5    # ref: track buffer ~2 + cable-line buffer 0.5
 _TRAM_MAX_H = 8.0  # ref max_tramcable_height, fixture-scaled
-
-
-def _seg_d2_sql(px: str, py: str) -> str:
-    """Squared distance from point to segment (s.x1,s.y1)-(s.x2,s.y2):
-    clamped projection, closed-form rational — identical text on both
-    engines (reference uses shapely buffer-intersects; this is the
-    equivalent distance-threshold test)."""
-    l2 = "((s.x2 - s.x1) * (s.x2 - s.x1) + (s.y2 - s.y1) * (s.y2 - s.y1))"
-    traw = (
-        f"((({px} - s.x1) * (s.x2 - s.x1) + ({py} - s.y1) * (s.y2 - s.y1))"
-        f" / {l2})"
-    )
-    t = f"LEAST(GREATEST({traw}, 0.0), 1.0)"
-    dx = f"({px} - (s.x1 + {t} * (s.x2 - s.x1)))"
-    dy = f"({py} - (s.y1 + {t} * (s.y2 - s.y1)))"
-    return f"({dx} * {dx} + {dy} * {dy})"
 
 
 @register(
@@ -1970,6 +2097,18 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.gapfill import fill_building_gaps
 
     return fill_building_gaps(R.raster_df(spark), max_rounds=1)
+
+
+@register("gap_fill_linear")  # grouped-map NumPy fill: rows-only
+def q_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile LINEAR gap fill (reference fill_gaps with
+    griddata(method='linear') + max_gap_size gate, ahn_utils.py:
+    346-400): separable row/column linear interpolation between the
+    nearest valid anchors, gaps wider than max_gap left unfilled.
+    Validated in tests/test_gapfill.py."""
+    from .operators.gapfill import fill_building_gaps_linear
+
+    return fill_building_gaps_linear(R.raster_df(spark), max_gap=6)
 
 
 # ----------------------------------------------------------------------
