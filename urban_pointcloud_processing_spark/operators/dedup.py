@@ -366,7 +366,10 @@ def simhash_neardup(
     salt — each (a, b) pair still meets exactly once, result identical
     (operators/skew.py pattern; tests/test_skew.py)."""
     n_blocks, block_w = simhash_blocks(max_hamming)
-    sh = simhash(docs)
+    # the signature subtree feeds BOTH self-join sides plus the skew
+    # sketch — materialize it once (tiny: one row per doc) instead of
+    # recomputing the token explosion 3×
+    sh = simhash(docs).localCheckpoint(eager=True)
     blocks = sh.select(
         "doc_id",
         "simhash",

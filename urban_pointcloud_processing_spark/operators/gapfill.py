@@ -99,7 +99,11 @@ def fill_grid_linear(grid: np.ndarray, max_gap: int = 6) -> np.ndarray:
 
     rows = axis_fill(g)
     cols = axis_fill(g.T).T
-    both = np.nanmean(np.stack([rows, cols]), axis=0)
+    est = np.stack([rows, cols])
+    counts = np.sum(~np.isnan(est), axis=0)
+    # all-NaN stacks stay NaN without the nanmean empty-slice warning
+    both = np.where(counts > 0, np.nansum(est, axis=0) / np.maximum(counts, 1),
+                    np.nan)
     fillable = np.isnan(g) & ~np.isnan(both)
     g[fillable] = both[fillable]
     return g

@@ -244,9 +244,11 @@ def cosine_neardup_lsh(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
     (1-θ/π)^4 ≈ 0.53, and ≥1 of 4 bands ≈ 0.95; candidates are
     deterministic (fixed integer hyperplanes) so the oracle reproduces
     the SAME candidate set and the result is value-exact."""
+    # norms + signatures feed bands, both vector re-joins: one
+    # materialization (row per vector) beats recomputing the UDF 3×
     base = _with_norm(emb).withColumn(
         "sig", hp_signature_udf()(F.col("embedding"))
-    )
+    ).localCheckpoint(eager=True)
     band_w = HP_BITS // HP_BANDS
     bands = base.select(
         "vec_id",
@@ -416,7 +418,7 @@ def ann_lsh_topk(
     the corpus). Deterministic hyperplanes → oracle-reproducible."""
     base = _with_norm(emb).withColumn(
         "sig", hp_signature_udf()(F.col("embedding"))
-    )
+    ).localCheckpoint(eager=True)
     band_w = HP_BITS // HP_BANDS
     bands = base.select(
         "vec_id",
