@@ -1099,7 +1099,11 @@ def q_knn_label_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets stay bounded)."""
     from .operators.neighbors import knn_label_fusion
 
-    labelled = _pipeline_df(spark, sf_dir).select("page_id", "x", "y", "label")
+    # the labelled table feeds BOTH the probe and the build side —
+    # materialize the pipeline (PIP UDF pass included) once
+    labelled = _pipeline_df(spark, sf_dir).select(
+        "page_id", "x", "y", "label"
+    ).localCheckpoint(eager=True)
     probe = labelled.filter(F.col("label") == 0)
     build = labelled.filter(F.col("label") != 0).withColumnRenamed(
         "page_id", "nb_id"
