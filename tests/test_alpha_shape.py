@@ -1,0 +1,77 @@
+"""Alpha-shape (concave hull) unit tests — scipy-free Delaunay."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from urban_pointcloud_processing_spark.operators.alpha_shape import (
+    _ring_area,
+    alpha_shape_polys,
+    cluster_alpha_shape,
+    delaunay_triangles,
+)
+
+
+def _grid_with_notch():
+    """10x10 unit grid with a 4x4 notch cut from the right edge —
+    convex hull area 100 - 0 = wrong; concave hull tracks the notch."""
+    pts = []
+    for i in range(11):
+        for j in range(11):
+            if i >= 6 and 3 <= j <= 7:
+                continue  # the notch
+            pts.append((float(i), float(j)))
+    return np.array(pts)
+
+
+def test_delaunay_covers_convex_area():
+    # triangulation of a square grid must tile its area exactly
+    pts = np.array([(float(i), float(j)) for i in range(4) for j in range(4)])
+    tris = delaunay_triangles(pts)
+    area = 0.0
+    for t in tris:
+        a, b, c = pts[list(t)]
+        area += abs(np.cross(b - a, c - a)) / 2.0
+    assert area == pytest.approx(9.0)  # 3x3 square
+
+
+def test_alpha_shape_tracks_concavity():
+    pts = _grid_with_notch()
+    rings = alpha_shape_polys(pts, alpha=0.6)  # 1/alpha ~ 1.67 > cell diag
+    assert rings, "expected at least one ring"
+    areas = [_ring_area(r) for r in rings]
+    big = max(areas)
+    # notch area = 5 cols x 4 rows span cut = (11-6)x... removed cells
+    # leave a concave boundary: area must be well below the 100 convex
+    # hull and close to the true covered area (100 - 5*4 = 80)
+    assert 70.0 <= big <= 90.0, areas
+    # alpha -> 0 (convex) recovers ~ the full square
+    convex = alpha_shape_polys(pts, alpha=1e-9)
+    assert max(_ring_area(r) for r in convex) == pytest.approx(100.0)
+
+
+def test_alpha_shape_splits_distant_blobs():
+    a = np.array([(float(i), float(j)) for i in range(4) for j in range(4)])
+    b = a + np.array([100.0, 0.0])
+    rings = alpha_shape_polys(np.vstack([a, b]), alpha=0.5)
+    # two separate polygons, no bridge (circumradius of bridging
+    # triangles >> 1/alpha)
+    assert len(rings) == 2
+    for r in rings:
+        assert _ring_area(r) == pytest.approx(9.0)
+
+
+def test_cluster_alpha_shape_grouped_map(spark):
+    pts = _grid_with_notch()
+    rows = [(0, float(x), float(y)) for x, y in pts]
+    rows += [(1, float(x) + 500.0, float(y)) for x, y in pts[:3]]  # degenerate
+    df = spark.createDataFrame(rows, ["component", "x", "y"])
+    got = cluster_alpha_shape(df, alpha=0.6).collect()
+    by_comp = {}
+    for r in got:
+        by_comp.setdefault(r["component"], []).append(r)
+    largest = [r for r in by_comp[0] if r["is_largest"]]
+    assert len(largest) == 1 and 70.0 <= largest[0]["area"] <= 90.0
+    # 3 points: no polygon, sentinel row
+    assert by_comp[1][0]["poly_idx"] == -1

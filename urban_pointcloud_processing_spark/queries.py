@@ -2455,6 +2455,21 @@ def q_car_fuser(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("cluster_alpha_shape")  # Delaunay-based: no SQL oracle (rows-only)
+def q_cluster_alpha_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concave hull (alpha shape) per ground component with the
+    biggest-polygon argmax (reference alpha_shape_utils.py:11-202 +
+    :179-180): scipy-free Bowyer–Watson Delaunay, circumradius-<1/alpha
+    triangle filter, boundary-edge ring assembly — one grouped-map per
+    component. Geometry validated on notched-grid fixtures in
+    tests/test_alpha_shape.py."""
+    from .operators.alpha_shape import cluster_alpha_shape
+
+    return cluster_alpha_shape(
+        _ground_with_comp(spark, sf_dir, grid=_DIM_GRID), alpha=0.3
+    )
+
+
 @register("car_fuser_mbr")  # rotating-calipers MBR: no SQL oracle (rows-only)
 def q_car_fuser_mbr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CarFuser with the TRUE rotated minimum bounding rectangle
