@@ -197,6 +197,15 @@ def _run_scaling_procs(levels: list[str]) -> None:
                 SG_OUT=out_path,
             )
             cmd = [sys.executable, os.path.abspath(__file__), "--scaling-exec"]
+            # pin each emulated executor to exactly ONE core: unpinned,
+            # a level-2 worker's GC/Python-sidecar threads borrow idle
+            # cores from the 32-CPU host and the small level measures
+            # far more than its nominal capacity (same honesty fix as
+            # the taskset in --scaling).
+            import shutil as _shutil
+
+            if _shutil.which("taskset"):
+                cmd = ["taskset", "-c", str(i)] + cmd
             procs.append(subprocess.Popen(
                 cmd, env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
             ))

@@ -50,3 +50,51 @@ def test_streaming_tile_histogram_matches_batch(spark):
         assert got2 == want2
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_sessionize_matches_batch_and_resumes(spark):
+    """applyInPandasWithState sessionization must reproduce the batch
+    window's session indices on ordered events, and continue numbering
+    from checkpointed state on a second drain."""
+    import datetime as dt
+
+    from urban_pointcloud_processing_spark.streaming.sessionize import (
+        run_sessionize_available_now,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="upcp_sess_")
+    inp, ckpt, outp = f"{tmp}/in", f"{tmp}/ckpt", f"{tmp}/out"
+    base = dt.datetime(2021, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ev(eid, uid, sec):
+        return (eid, uid, base + dt.timedelta(seconds=sec))
+
+    try:
+        batch1 = [
+            ev(1, 7, 0), ev(2, 7, 100), ev(3, 7, 2200),   # gap > 1800
+            ev(4, 8, 0),
+        ]
+        spark.createDataFrame(batch1, ["event_id", "user_id", "ts"]) \
+            .write.mode("overwrite").parquet(inp)
+        got1 = {
+            r["event_id"]: r["session_idx"]
+            for r in run_sessionize_available_now(
+                spark, inp, ckpt, outp
+            ).collect()
+        }
+        assert got1 == {1: 1, 2: 1, 3: 2, 4: 1}
+
+        # second drain: user 7 continues within session 2 (small gap)
+        # then opens session 3; user 9 starts fresh
+        batch2 = [ev(5, 7, 2300), ev(6, 7, 9000), ev(7, 9, 0)]
+        spark.createDataFrame(batch2, ["event_id", "user_id", "ts"]) \
+            .write.mode("append").parquet(inp)
+        got2 = {
+            r["event_id"]: r["session_idx"]
+            for r in run_sessionize_available_now(
+                spark, inp, ckpt, outp
+            ).collect()
+        }
+        assert got2[5] == 2 and got2[6] == 3 and got2[7] == 1
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1161,6 +1161,48 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sessionize_stream",
+    """
+WITH ev AS (
+  SELECT event_id, user_id, CAST(epoch(ts) AS BIGINT) AS t
+  FROM events
+),
+flagged AS (
+  SELECT event_id, user_id, t,
+         CASE WHEN t - lag(t) OVER w > 1800 OR lag(t) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+)
+SELECT event_id, user_id,
+       CAST(SUM(is_new) OVER (
+         PARTITION BY user_id ORDER BY t, event_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+FROM flagged
+""",
+)
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sessionization (applyInPandasWithState, bounded
+    per-user state) drained with Trigger.AvailableNow over the events
+    table — must reproduce the batch window's session indices exactly
+    (same oracle as `sessionize`). Holds whenever the feed delivers a
+    user's events in time order across micro-batches, which the
+    single-file fixture drain does."""
+    import tempfile
+
+    from .streaming.sessionize import run_sessionize_available_now
+
+    tmp = tempfile.mkdtemp(prefix="upcp_sess_q_")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    inp = f"{tmp}/in"
+    events.coalesce(1).write.mode("overwrite").parquet(inp)
+    return run_sessionize_available_now(
+        spark, inp, f"{tmp}/ckpt", f"{tmp}/out"
+    )
+
+
 # ----------------------------------------------------------------------
 # Cable growing (reference _grow_cables, cable_fuser.py:173-197):
 # attach points to the nearest cable-candidate cell within radius
