@@ -2497,6 +2497,217 @@ def q_car_fuser(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------------
+# BGTStreetFurnitureFuser composite (reference street_furniture_fuser.
+# py:40-110): clusters in the band above ground pass height + dimension
+# windows and must sit near a registry object of the right type.
+# ----------------------------------------------------------------------
+
+_SF_BAND = (0.2, 1.0)       # z − ground_z window for furniture points
+_SF_GRID = 2.0              # CC grid (denser band than ground -> finer)
+_SF_HEIGHT = (0.4, 1.0)     # min/max cluster height above mean ground
+_SF_EXT = (1.5, 20.0)       # axis-extent window (reference MBR window;
+                            # exact rotated-MBR variant: car_fuser_mbr)
+_SF_MAX_DIST_SQ = 400.0     # ≤ 20 m to a bank/afvalbak object
+_SF_TYPES = ("bank", "afvalbak")
+
+_SF_CC = f"""
+fpts AS (
+  SELECT page_id, x, y, z,
+         CAST(200 + ((CAST(floor(x) AS BIGINT) * 31
+                      + CAST(floor(y) AS BIGINT) * 17) % 100) AS BIGINT)
+           AS gz_c,
+         CAST(floor(x / {_SF_GRID}) AS BIGINT) AS cx,
+         CAST(floor(y / {_SF_GRID}) AS BIGINT) AS cy
+  FROM pts
+  WHERE z - {_GZ} > {_SF_BAND[0]} AND z - {_GZ} <= {_SF_BAND[1]}
+),
+fcells AS (SELECT DISTINCT cx, cy, cx * 2147483648 + cy AS cell FROM fpts),
+fadj AS (
+  SELECT a.cell AS src, b.cell AS dst
+  FROM fcells a JOIN fcells b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+),
+freach(src, node) AS (
+  SELECT cell, cell FROM fcells
+  UNION
+  SELECT r.src, e.dst FROM freach r JOIN fadj e ON r.node = e.src
+),
+fcomp AS (SELECT src AS cell, MIN(node) AS component FROM freach GROUP BY src),
+fassign AS (
+  SELECT p.page_id, c.component, p.x, p.y, p.z, p.gz_c
+  FROM fpts p JOIN fcomp c ON p.cx * 2147483648 + p.cy = c.cell
+),
+fstats AS (
+  SELECT component, COUNT(*) AS n_points,
+         MAX(z) AS top_z,
+         CAST(SUM(gz_c) AS DOUBLE) / COUNT(*) / 100.0 AS mean_gz,
+         MIN(x) AS x_min, MAX(x) AS x_max,
+         MIN(y) AS y_min, MAX(y) AS y_max,
+         CAST(SUM(CAST(round(x * 1000.0) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1000.0 AS center_x,
+         CAST(SUM(CAST(round(y * 1000.0) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1000.0 AS center_y
+  FROM fassign GROUP BY component
+),
+fpass AS (
+  SELECT s.component FROM fstats s
+  WHERE s.top_z - s.mean_gz >= {_SF_HEIGHT[0]}
+    AND s.top_z - s.mean_gz <= {_SF_HEIGHT[1]}
+    AND s.x_max - s.x_min >= {_SF_EXT[0]} AND s.x_max - s.x_min <= {_SF_EXT[1]}
+    AND s.y_max - s.y_min >= {_SF_EXT[0]} AND s.y_max - s.y_min <= {_SF_EXT[1]}
+    AND EXISTS (
+      SELECT 1 FROM {point_layer_values_sql()}
+      WHERE o.bgt_type IN ('bank', 'afvalbak')
+        AND (s.center_x - o.x) * (s.center_x - o.x)
+          + (s.center_y - o.y) * (s.center_y - o.y) <= {_SF_MAX_DIST_SQ}
+    )
+)
+"""
+
+
+@register(
+    "street_furniture_fuser",
+    f"""
+WITH RECURSIVE pts AS ({PAGES_CTE}),
+{_SF_CC}
+SELECT a.page_id, 80 AS label
+FROM fassign a JOIN fpass p ON p.component = a.component
+""",
+)
+def q_street_furniture_fuser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BGTStreetFurnitureFuser (reference street_furniture_fuser.
+    py:40-110): band-above-ground clusters passing the height window
+    (vs exact integer-mm mean ground) and dimension window, whose
+    centroid lies within max_dist of a bench/bin registry object, label
+    all their points CITY_BENCH (80)."""
+    from .operators.components import grid_components_two_level
+
+    pages = pages_from_orders(spark, sf_dir)
+    enriched = R.with_raster(pages, R.raster_df(spark))
+    dz = F.col("z") - F.col("ground_z")
+    band = enriched.filter(
+        (dz > _SF_BAND[0]) & (dz <= _SF_BAND[1])
+    ).select("page_id", "x", "y", "z")
+    comps = grid_components_two_level(band, grid_size=_SF_GRID)
+    # exact integer ground-z: gz = 2 + k/100 → gz_c = 200 + k (BIGINT)
+    gz_c = (
+        F.lit(200)
+        + (
+            F.floor(F.col("x")).cast("long") * 31
+            + F.floor(F.col("y")).cast("long") * 17
+        ) % 100
+    )
+    assign = comps.select("page_id", "component", "x", "y", "z").withColumn(
+        "gz_c", gz_c
+    )
+    xmm = F.round(F.col("x") * 1000.0).cast("long")
+    ymm = F.round(F.col("y") * 1000.0).cast("long")
+    stats = assign.groupBy("component").agg(
+        F.count("*").alias("n_points"),
+        F.max("z").alias("top_z"),
+        (F.sum("gz_c").cast("double") / F.count("*") / F.lit(100.0)).alias(
+            "mean_gz"
+        ),
+        F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"), F.max("y").alias("y_max"),
+        (F.sum(xmm).cast("double") / F.count("*") / F.lit(1000.0)).alias(
+            "center_x"
+        ),
+        (F.sum(ymm).cast("double") / F.count("*") / F.lit(1000.0)).alias(
+            "center_y"
+        ),
+    )
+    h = F.col("top_z") - F.col("mean_gz")
+    ext_x = F.col("x_max") - F.col("x_min")
+    ext_y = F.col("y_max") - F.col("y_min")
+    dims_ok = stats.filter(
+        (h >= _SF_HEIGHT[0]) & (h <= _SF_HEIGHT[1])
+        & (ext_x >= _SF_EXT[0]) & (ext_x <= _SF_EXT[1])
+        & (ext_y >= _SF_EXT[0]) & (ext_y <= _SF_EXT[1])
+    )
+    objs = point_layer_df(spark).filter(
+        F.col("bgt_type").isin(*_SF_TYPES)
+    ).select(F.col("x").alias("ox"), F.col("y").alias("oy"))
+    d2 = (F.col("center_x") - F.col("ox")) * (
+        F.col("center_x") - F.col("ox")
+    ) + (F.col("center_y") - F.col("oy")) * (F.col("center_y") - F.col("oy"))
+    near = (
+        dims_ok.join(F.broadcast(objs), d2 <= F.lit(_SF_MAX_DIST_SQ))
+        .select("component")
+        .distinct()
+    )
+    return assign.join(F.broadcast(near), "component").select(
+        "page_id", F.lit(80).alias("label")
+    )
+
+
+# ----------------------------------------------------------------------
+# 1-D binned statistic: cable line fit (reference _linestring_cable_fit,
+# cable_fuser.py:430-460 — binned means along the cable axis)
+# ----------------------------------------------------------------------
+
+
+@register(
+    "cable_line_fit",
+    f"""
+WITH feats AS ({pca_cell_features_sql(PAGES_CTE, 5.0, 3).strip()}),
+cables AS (
+  SELECT cell_x, cell_y, cell_x * 100000 + cell_y AS cluster_id
+  FROM feats WHERE linearity > 0.9 AND n_points >= 4
+),
+pts AS ({PAGES_CTE}),
+members AS (
+  SELECT c.cluster_id, p.x, p.y, p.z
+  FROM pts p JOIN cables c
+    ON CAST(floor(p.x / 5.0) AS BIGINT) = c.cell_x
+   AND CAST(floor(p.y / 5.0) AS BIGINT) = c.cell_y
+)
+SELECT cluster_id, CAST(floor(x / 4.0) AS BIGINT) AS bin_t,
+       COUNT(*) AS n_pts,
+       CAST(SUM(CAST(round(y * 1000.0) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 1000.0 AS mean_y,
+       CAST(SUM(CAST(round(z * 1000.0) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 1000.0 AS mean_z
+FROM members
+GROUP BY cluster_id, CAST(floor(x / 4.0) AS BIGINT)
+""",
+)
+def q_cable_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D binned-statistic cable line fit: per cable cluster, the
+    binned mean cross-position and height along the axis (axis-aligned
+    variant; the principal-axis version runs inside armatuur_search).
+    Means divide exact integer-mm sums so both engines agree
+    bit-for-bit."""
+    pages = pages_from_orders(spark, sf_dir)
+    feats = pca_cell_features(pages, 5.0, 3)
+    cables = feats.filter(
+        (F.col("linearity") > 0.9) & (F.col("n_points") >= 4)
+    ).select(
+        "cell_x", "cell_y",
+        (F.col("cell_x") * F.lit(100000) + F.col("cell_y")).alias("cluster_id"),
+    )
+    members = pages.withColumns(
+        {
+            "cell_x": F.floor(F.col("x") / 5.0).cast("long"),
+            "cell_y": F.floor(F.col("y") / 5.0).cast("long"),
+        }
+    ).join(F.broadcast(cables), ["cell_x", "cell_y"])
+    ymm = F.round(F.col("y") * 1000.0).cast("long")
+    zmm = F.round(F.col("z") * 1000.0).cast("long")
+    return members.groupBy(
+        "cluster_id", F.floor(F.col("x") / 4.0).cast("long").alias("bin_t")
+    ).agg(
+        F.count("*").alias("n_pts"),
+        (F.sum(ymm).cast("double") / F.count("*") / F.lit(1000.0)).alias(
+            "mean_y"
+        ),
+        (F.sum(zmm).cast("double") / F.count("*") / F.lit(1000.0)).alias(
+            "mean_z"
+        ),
+    )
+
+
 @register("cluster_alpha_shape")  # Delaunay-based: no SQL oracle (rows-only)
 def q_cluster_alpha_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concave hull (alpha shape) per ground component with the
