@@ -27,9 +27,10 @@ Spark-first re-expression (voxel-level, like the rest of the engine):
    angle(Na, Nb) < threshold_angle — evaluated as
    dot > 0 AND dot² > cos²θ·|Na|²·|Nb|² (pure products, no acos) —
    plus ONE final frontier expansion for accepted-but-not-seed voxels.
-   CC runs as the iterative min-label + pointer-jumping DataFrame loop
-   (O(log diameter) rounds, checkpointed frontiers), the same machinery
-   as operators/components.py.
+   CC runs as the ONE-PASS two-level scheme over the explicit gated
+   edge list (per-block union-find grouped-map + driver merge of the
+   O(surface) inter-block root graph) — the operators/components.py
+   design generalized to arbitrary edges.
 
 Scale notes (100 TB): the point→voxel aggregation is a map-side partial
 agg on the voxel key; everything after operates on the voxel table
@@ -96,8 +97,12 @@ def voxel_normals(
     min_points: int = DEFAULT_MIN_POINTS,
 ) -> DataFrame:
     """(vcell, vx, vy, vz, n_points, nx, ny, nz, curv) for voxels with a
-    well-defined plane fit (n ≥ min_points and det > 0)."""
-    pts = _with_voxels(points, voxel).select(
+    well-defined plane fit (n ≥ min_points and det > 0). Accepts either
+    raw (x, y, z) points or an already-voxelized frame (vcell present)."""
+    voxed = points if "vcell" in points.columns else _with_voxels(
+        points, voxel
+    )
+    pts = voxed.select(
         "vcell", "vx", "vy", "vz",
         _mm(F.col("x")).alias("x_mm"),
         _mm(F.col("y")).alias("y_mm"),
@@ -192,45 +197,102 @@ def _gated_edges(vox: DataFrame, cos2: float) -> DataFrame:
     )
 
 
-def _min_label_cc(nodes: DataFrame, edges: DataFrame,
-                  max_rounds: int = 40) -> DataFrame:
-    """(node, comp) — min-key components via iterative min-propagation +
-    pointer jumping with checkpointed frontiers (components.py pattern,
-    O(log diameter) rounds)."""
-    comp = nodes.select(F.col("node"), F.col("node").alias("comp"))
-    comp = comp.localCheckpoint(eager=True)
-    for _ in range(max_rounds):
-        nbr_min = (
-            edges.join(comp.withColumnRenamed("node", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("comp").alias("nbr_comp"))
-            .withColumnRenamed("src", "node")
+def _edge_cc_two_level(nodes: DataFrame, edges: DataFrame,
+                       block_cells: int = 16) -> DataFrame:
+    """(node, comp) — min-key components over an EXPLICIT edge list in
+    ONE pass (no iteration): nodes partition into spatial blocks
+    (decoded from the voxel key), intra-block edges resolve with a
+    per-block union-find grouped-map, and the inter-block ROOT graph —
+    bounded by block surface area — resolves on the driver and
+    broadcasts back (the components.py two-level design, generalized
+    to gated edges). Replaces the O(rounds × jobs) min-label loop whose
+    fixed per-round scheduling cost dominated wall time."""
+    import pandas as pd
+
+    bs = block_cells
+    vx = F.floor(F.col("node") / F.lit(SHIFT * SHIFT)).cast("long")
+    vy = F.pmod(F.floor(F.col("node") / F.lit(SHIFT)), F.lit(SHIFT))
+    blocked = nodes.select(
+        "node",
+        F.floor(vx / F.lit(bs)).cast("long").alias("_bx"),
+        F.floor(vy / F.lit(bs)).cast("long").alias("_by"),
+    )
+    ed = (
+        edges.join(blocked.withColumnRenamed("node", "src"), "src")
+        .withColumnsRenamed({"_bx": "_sbx", "_by": "_sby"})
+        .join(blocked.withColumnRenamed("node", "dst"), "dst")
+    )
+    intra = ed.filter(
+        (F.col("_sbx") == F.col("_bx")) & (F.col("_sby") == F.col("_by"))
+    ).select("src", "dst", "_bx", "_by")
+    # per-block union-find over nodes + intra edges (edges are
+    # symmetric, so grouping by the src block sees every intra edge)
+    node_rows = blocked.select(
+        F.col("node").alias("src"), F.col("node").alias("dst"), "_bx", "_by"
+    )
+    roots_schema = "node long, root long"
+
+    def local_cc(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict[int, int] = {}
+
+        def find(a: int) -> int:
+            parent.setdefault(a, a)
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for s, d in zip(pdf["src"], pdf["dst"]):
+            ra, rb = find(int(s)), find(int(d))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return pd.DataFrame(
+            {"node": list(parent), "root": [find(k) for k in parent]}
         )
-        stepped = comp.join(nbr_min, "node", "left").select(
-            "node", F.least(F.col("comp"), F.col("nbr_comp")).alias("comp")
+
+    local = (
+        intra.unionByName(node_rows)
+        .groupBy("_bx", "_by")
+        .applyInPandas(local_cc, schema=roots_schema)
+        .persist()
+    )
+    inter = ed.filter(
+        (F.col("_sbx") != F.col("_bx")) | (F.col("_sby") != F.col("_by"))
+    ).select("src", "dst")
+    root_edges = (
+        inter.join(
+            local.select(F.col("node").alias("src"),
+                         F.col("root").alias("root_a")), "src")
+        .join(
+            local.select(F.col("node").alias("dst"),
+                         F.col("root").alias("root_b")), "dst")
+        .select("root_a", "root_b")
+        .distinct()
+        .collect()
+    )
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in root_edges:
+        ra, rb = find(r["root_a"]), find(r["root_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    mapping = [(k, find(k)) for k in list(parent)]
+    spark = nodes.sparkSession
+    if mapping:
+        map_df = spark.createDataFrame(mapping, ["root", "_groot"])
+        out = local.join(F.broadcast(map_df), "root", "left").select(
+            "node", F.coalesce("_groot", "root").alias("comp")
         )
-        jumped = (
-            stepped.alias("a")
-            .join(
-                stepped.select(
-                    F.col("node").alias("comp"), F.col("comp").alias("comp2")
-                ).alias("b"),
-                "comp",
-                "left",
-            )
-            .select("node", F.coalesce("comp2", "comp").alias("comp"))
-        )
-        jumped = jumped.localCheckpoint(eager=True)
-        changed = (
-            jumped.join(comp.withColumnRenamed("comp", "old"), "node")
-            .filter(F.col("comp") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        comp = jumped
-        if changed == 0:
-            break
-    return comp
+    else:
+        out = local.select("node", F.col("root").alias("comp"))
+    return out
 
 
 def region_grow(
@@ -246,8 +308,10 @@ def region_grow(
     ``seed_col`` true). Gates per the reference: normal-angle edge test,
     curvature seed-capability test."""
     cos2 = cos2_threshold(angle_deg)
-    vox = voxel_normals(points, voxel, min_points).persist()
-    ptsv = _with_voxels(points, voxel)
+    # the voxelized point table feeds normals, seed detection and the
+    # final label join — materialize the scan+voxelize once
+    ptsv = _with_voxels(points, voxel).localCheckpoint(eager=True)
+    vox = voxel_normals(ptsv, voxel, min_points).persist()
     seed_vox = (
         ptsv.filter(F.col(seed_col)).select("vcell").distinct().persist()
     )
@@ -263,7 +327,7 @@ def region_grow(
         .join(capable.select(F.col("node").alias("dst")), "dst")
         .select("src", "dst")
     )
-    comp = _min_label_cc(capable.select("node"), cap_edges)
+    comp = _edge_cc_two_level(capable.select("node"), cap_edges)
     grown_comps = (
         comp.join(
             capable.filter(F.col("_seed")).select("node"), "node"

@@ -2348,7 +2348,7 @@ def q_region_growing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the flat zone grows across the gentle slope (normal angle ≈5.7° <
     20°), is blocked by the 45° wall and cannot pass through the
     high-curvature rough stripe. Engine: voxel plane-fit normals from
-    exact integer moments + gated min-label CC; oracle: identical
+    exact integer moments + gated two-level CC; oracle: identical
     arithmetic + recursive-CTE reach."""
     pages = _rg_planar_pages(spark, sf_dir)
     seeded = pages.withColumn(
