@@ -84,3 +84,84 @@ def test_unsupported_voxel_points_blocked(spark):
     got = {r["page_id"]: r["grown"] for r in region_grow(df).collect()}
     # seed voxel itself is always accepted; nothing else can be reached
     assert got[0] and got[1] and got[2] and got[3]  # all in the one seed voxel
+
+
+def test_region_grow_matches_reference_bfs_closure(spark):
+    """The two-level-CC + frontier implementation must equal the
+    reference's BFS closure (region_growing.py:99-137: seeds expand to
+    angle-passing neighbors; accepted neighbors become seeds iff their
+    curvature passes) computed independently in Python over the same
+    voxel attributes."""
+    import numpy as np
+
+    from urban_pointcloud_processing_spark.operators.region_growing import (
+        DEFAULT_CURVE,
+        SHIFT,
+        _with_voxels,
+        cos2_threshold,
+        region_grow,
+        voxel_normals,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = []
+    pid = 0
+    # random mixture: flat patches + sloped patches + noise blobs
+    for patch in range(6):
+        ox, oy = rng.randint(0, 8) * 5.0, rng.randint(0, 8) * 5.0
+        kind = patch % 3
+        for _ in range(60):
+            x = ox + rng.rand() * 10.0
+            y = oy + rng.rand() * 10.0
+            if kind == 0:
+                z = 2.0
+            elif kind == 1:
+                z = 2.0 + 0.08 * (x - ox)
+            else:
+                z = 2.0 + rng.rand() * 3.0  # rough
+            rows.append((pid, round(x, 3), round(y, 3), round(z, 3),
+                         x < 3.0 and y < 15.0))
+            pid += 1
+    df = spark.createDataFrame(rows, ["page_id", "x", "y", "z", "is_seed"])
+
+    # engine result: voxel -> grown
+    got = {
+        r["page_id"]: r["grown"] for r in region_grow(df).collect()
+    }
+
+    # independent BFS closure over the SAME voxel attributes
+    vox = {r["vcell"]: r for r in voxel_normals(df).collect()}
+    ptsv = _with_voxels(df, 5.0).collect()
+    seeds0 = {r["vcell"] for r in ptsv if r["is_seed"]}
+    cos2 = cos2_threshold(20.0)
+
+    def gate(a, b):
+        dot = (a["nx"] * b["nx"] + a["ny"] * b["ny"]) + a["nz"] * b["nz"]
+        na2 = (a["nx"] * a["nx"] + a["ny"] * a["ny"]) + a["nz"] * a["nz"]
+        nb2 = (b["nx"] * b["nx"] + b["ny"] * b["ny"]) + b["nz"] * b["nz"]
+        return dot > 0 and dot * dot > cos2 * (na2 * nb2)
+
+    def neighbors(c):
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    if dx == dy == dz == 0:
+                        continue
+                    yield c + dx * SHIFT * SHIFT + dy * SHIFT + dz
+
+    frontier = [c for c in seeds0 if c in vox]
+    region_seeds = set(frontier)
+    accepted = set(seeds0)
+    while frontier:
+        cur = frontier.pop()
+        for nb in neighbors(cur):
+            if nb not in vox or not gate(vox[cur], vox[nb]):
+                continue
+            accepted.add(nb)
+            capable = vox[nb]["curv"] < DEFAULT_CURVE or nb in seeds0
+            if capable and nb not in region_seeds:
+                region_seeds.add(nb)
+                frontier.append(nb)
+
+    want = {r["page_id"]: (r["vcell"] in accepted) for r in ptsv}
+    assert got == want

@@ -334,6 +334,149 @@ WHERE round({dot} / (va.nrm * vb.nrm), 9) >= {threshold}
 
 
 # ----------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path (north-star: "IVF or
+# LSH-bucketed variant"). Coarse centroids are picked deterministically
+# (vec_id % centroid_mod == 0 — k-means at iteration 0 with a fixed
+# seed set), so BOTH engines reproduce the identical partition and the
+# query is value-exact, while each query probes only nprobe inverted
+# lists (~nprobe/C of the corpus) instead of scanning everything.
+# ----------------------------------------------------------------------
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 10,
+    query_mod: int = 50,
+    centroid_mod: int = 20,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF ANN top-k: corpus vectors assign to their nearest coarse
+    centroid (deterministic (cosine desc, centroid_id) argmax); each
+    query searches the union of its nprobe nearest centroids' lists
+    with exact cosines. Assignment and probing reuse the exact
+    ordered-fold dot product, so results match the oracle
+    bit-for-bit."""
+    base = _with_norm(emb).localCheckpoint(eager=True)
+    cents = base.filter(F.col("vec_id") % centroid_mod == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("_norm").alias("c_norm"),
+    )
+    d = dot_udf()
+    pair_cos = F.round(
+        d(F.col("embedding"), F.col("c_emb"))
+        / (F.col("_norm") * F.col("c_norm")),
+        9,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("_ccos"), F.col("cent_id")
+    )
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("_ccos", pair_cos)
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "embedding", "_norm", "cent_id")
+        .localCheckpoint(eager=True)
+    )
+    probes = (
+        base.filter(F.col("vec_id") % query_mod == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("_norm").alias("q_norm"),
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_ccos",
+            F.round(
+                d(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                9,
+            ),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("_ccos"), F.col("cent_id")
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "q_emb", "q_norm", "cent_id")
+    )
+    cand = (
+        probes.join(assigned, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                d(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_norm") * F.col("_norm")),
+                9,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def ivf_topk_sql(
+    k: int = 10, query_mod: int = 50, centroid_mod: int = 20, nprobe: int = 3
+) -> str:
+    dotc = dot_sql("e.embedding", "c.embedding")
+    dotq = dot_sql("q.embedding", "c.embedding")
+    dote = dot_sql("q.embedding", "e.embedding")
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm FROM embeddings
+),
+cents AS (SELECT vec_id AS cent_id, embedding, nrm FROM base
+          WHERE vec_id % {centroid_mod} = 0),
+assigned AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({dotc} / (e.nrm * c.nrm), 9) DESC, c.cent_id
+           ) AS rn
+    FROM base e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cent_id FROM (
+    SELECT q.vec_id AS query_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round({dotq} / (q.nrm * c.nrm), 9) DESC, c.cent_id
+           ) AS rn
+    FROM base q CROSS JOIN cents c
+    WHERE q.vec_id % {query_mod} = 0
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round({dote} / (q.nrm * e.nrm), 9) AS cosine
+  FROM probes p
+  JOIN assigned a ON a.cent_id = p.cent_id
+  JOIN base q ON q.vec_id = p.query_id
+  JOIN base e ON e.vec_id = a.vec_id
+  WHERE a.vec_id != p.query_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+# ----------------------------------------------------------------------
 # Hyperplane LSH — the ANN scale path
 # ----------------------------------------------------------------------
 

@@ -797,6 +797,15 @@ def q_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_neardup_lsh(_embs(spark, sf_dir), 0.35)
 
 
+@register("ivf_topk", S.ivf_topk_sql(10, 50, 20, 3))
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10: deterministic coarse centroids (vec_id%20==0),
+    nearest-centroid inverted lists, nprobe=3 probing — each query
+    scans ~nprobe/C of the corpus instead of all of it. Exact ordered
+    folds keep it oracle-reproducible."""
+    return S.ivf_topk(_embs(spark, sf_dir), 10, 50, 20, 3)
+
+
 @register("ann_lsh_topk", S.ann_lsh_topk_sql(10, 50))
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN top-10 — candidates from signature-band
