@@ -68,6 +68,7 @@ EXTENDED = [
     "tram_classify",
     "cosine_neardup_lsh",
     "street_furniture_fuser",
+    "ivf_topk",
 ]
 
 # Queries timed for the scaling ratio: the flagship spatial-join +
