@@ -273,7 +273,10 @@ def q_ground_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.components import grid_components_two_level, size_filter
 
     pages = pages_from_orders(spark, sf_dir)
-    enriched = R.with_raster(pages, R.raster_df(spark))
+    # enriched feeds both the ground and the unknown band — one scan
+    enriched = R.with_raster(pages, R.raster_df(spark)).select(
+        "page_id", "x", "y", "z", "ground_z"
+    ).localCheckpoint(eager=True)
     is_ground = F.abs(F.col("z") - F.col("ground_z")) < 0.2
     ground = enriched.filter(is_ground).select(
         "page_id",
@@ -1899,7 +1902,11 @@ def q_pole_fuser(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.neighbors import binned_statistic_2d
 
     P = _POLE
-    pages = pages_from_orders(spark, sf_dir).select("page_id", "x", "y", "z")
+    # pages feeds the candidate bins, the seed windows AND the final
+    # cylinder join — one scan
+    pages = pages_from_orders(spark, sf_dir).select(
+        "page_id", "x", "y", "z"
+    ).localCheckpoint(eager=True)
     bins = binned_statistic_2d(pages, res=5.0)
     poles = bins.filter(
         (F.col("z_max") - F.col("z_min") > 4.0)
@@ -2597,7 +2604,7 @@ def q_street_furniture_fuser(spark: SparkSession, sf_dir: str) -> DataFrame:
     dz = F.col("z") - F.col("ground_z")
     band = enriched.filter(
         (dz > _SF_BAND[0]) & (dz <= _SF_BAND[1])
-    ).select("page_id", "x", "y", "z")
+    ).select("page_id", "x", "y", "z").localCheckpoint(eager=True)
     comps = grid_components_two_level(band, grid_size=_SF_GRID)
     # exact integer ground-z: gz = 2 + k/100 → gz_c = 200 + k (BIGINT)
     gz_c = (
