@@ -98,3 +98,51 @@ def test_streaming_sessionize_matches_batch_and_resumes(spark):
         assert got2[5] == 2 and got2[6] == 3 and got2[7] == 1
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_watermarked_window_closes_and_drops_late(spark):
+    """Watermarked tumbling agg: a window is emitted once the watermark
+    (max event time - allowance) passes its end; in-allowance late
+    events fold in before that; too-late events are dropped after."""
+    import datetime as dt
+
+    from urban_pointcloud_processing_spark.streaming.windowed import (
+        run_windowed_available_now,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="upcp_wm_")
+    inp, ckpt, outp = f"{tmp}/in", f"{tmp}/ckpt", f"{tmp}/out"
+    base = dt.datetime(2021, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ev(eid, uid, minutes, value=1.0):
+        return (eid, uid, base + dt.timedelta(minutes=minutes), value)
+
+    try:
+        # batch 1: two events in hour-0 plus one far-future event that
+        # pushes the watermark past hour-0's end (60 + 30 < 180)
+        batch1 = [ev(1, 7, 10), ev(2, 7, 50), ev(3, 7, 180)]
+        spark.createDataFrame(
+            batch1, ["event_id", "user_id", "ts", "value"]
+        ).write.mode("overwrite").parquet(inp)
+        got1 = run_windowed_available_now(spark, inp, ckpt, outp).collect()
+        closed = {
+            (r["window_start"].minute + r["window_start"].hour * 60,
+             r["user_id"]): r["n_events"]
+            for r in got1
+        }
+        assert closed.get((0, 7)) == 2  # hour-0 emitted with both events
+        assert (180, 7) not in closed   # hour-3 still open
+
+        # batch 2: a too-late event for hour-0 must NOT change it
+        spark.createDataFrame(
+            [ev(4, 7, 20)], ["event_id", "user_id", "ts", "value"]
+        ).write.mode("append").parquet(inp)
+        got2 = run_windowed_available_now(spark, inp, ckpt, outp).collect()
+        closed2 = {
+            (r["window_start"].minute + r["window_start"].hour * 60,
+             r["user_id"]): r["n_events"]
+            for r in got2
+        }
+        assert closed2.get((0, 7)) == 2  # unchanged; late row dropped
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
