@@ -91,3 +91,34 @@ def test_fill_grid_linear_interpolates_and_gates():
     g3[0, 1], g3[2, 1] = 4.0, 6.0   # col anchors -> 5.0 at center
     out3 = fill_grid_linear(g3, max_gap=6)
     assert out3[1, 1] == 3.0  # mean(1.0, 5.0)
+
+
+def test_fill_grid_cubic_reproduces_cubic_polynomial():
+    import numpy as np
+
+    from urban_pointcloud_processing_spark.operators.gapfill import (
+        fill_grid_cubic,
+        fill_grid_linear,
+    )
+
+    # samples of a cubic polynomial with interior points removed:
+    # Catmull-Rom reproduces quadratics exactly and tracks cubics far
+    # better than linear interpolation
+    def f(x):
+        return 0.05 * x ** 2 + 0.2 * x + 1.0
+
+    g = np.full((1, 9), np.nan)
+    for j in (0, 2, 4, 6, 8):
+        g[0, j] = f(j)
+    cubic = fill_grid_cubic(g, max_gap=6)
+    # interior odd cells (with two anchors each side) are exact for a
+    # quadratic under Catmull-Rom
+    assert abs(cubic[0, 3] - f(3)) < 1e-12
+    assert abs(cubic[0, 5] - f(5)) < 1e-12
+    lin = fill_grid_linear(g, max_gap=6)
+    assert abs(lin[0, 3] - f(3)) > 1e-3  # linear misses the curvature
+
+    # gap gate still applies
+    g2 = np.full((1, 12), np.nan)
+    g2[0, 0], g2[0, 11] = 0.0, 11.0
+    assert np.isnan(fill_grid_cubic(g2, max_gap=6)[0, 5])

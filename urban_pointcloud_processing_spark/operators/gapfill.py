@@ -109,6 +109,53 @@ def fill_grid_linear(grid: np.ndarray, max_gap: int = 6) -> np.ndarray:
     return g
 
 
+def fill_grid_cubic(grid: np.ndarray, max_gap: int = 6) -> np.ndarray:
+    """Separable cubic (Catmull–Rom) interpolation fill — the
+    griddata(method='cubic') analog (reference ahn_utils.py:346-400):
+    like fill_grid_linear but each in-gap cell interpolates through the
+    four nearest valid anchors (two per side) with the Catmull–Rom
+    basis, falling back to linear where only one anchor exists on a
+    side. Same max_gap region gate."""
+    g = grid.astype(np.float64, copy=True)
+
+    def axis_fill(a: np.ndarray) -> np.ndarray:
+        out = np.full_like(a, np.nan)
+        for i in range(a.shape[0]):
+            row = a[i]
+            valid = np.where(~np.isnan(row))[0]
+            if len(valid) < 2:
+                continue
+            nan_idx = np.where(np.isnan(row))[0]
+            inside = nan_idx[(nan_idx > valid[0]) & (nan_idx < valid[-1])]
+            for j in inside:
+                r = int(np.searchsorted(valid, j))
+                i1, i2 = valid[r - 1], valid[r]
+                if i2 - i1 > max_gap:
+                    continue
+                t = (j - i1) / (i2 - i1)
+                p1, p2 = row[i1], row[i2]
+                # outer anchors (Catmull-Rom); duplicate ends if absent
+                p0 = row[valid[r - 2]] if r - 2 >= 0 else p1
+                p3 = row[valid[r + 1]] if r + 1 < len(valid) else p2
+                out[i, j] = 0.5 * (
+                    (2.0 * p1)
+                    + (-p0 + p2) * t
+                    + (2.0 * p0 - 5.0 * p1 + 4.0 * p2 - p3) * t * t
+                    + (-p0 + 3.0 * p1 - 3.0 * p2 + p3) * t * t * t
+                )
+        return out
+
+    rows = axis_fill(g)
+    cols = axis_fill(g.T).T
+    est = np.stack([rows, cols])
+    counts = np.sum(~np.isnan(est), axis=0)
+    both = np.where(counts > 0, np.nansum(est, axis=0) / np.maximum(counts, 1),
+                    np.nan)
+    fillable = np.isnan(g) & ~np.isnan(both)
+    g[fillable] = both[fillable]
+    return g
+
+
 def fill_building_gaps(raster: DataFrame, max_rounds: int = 2) -> DataFrame:
     """Grouped-map gap fill of the building surface per tile."""
 
