@@ -2173,6 +2173,45 @@ def q_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fill_building_gaps_linear(R.raster_df(spark), max_gap=6)
 
 
+@register("gap_fill_cubic")  # grouped-map NumPy fill: rows-only
+def q_gap_fill_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile CUBIC gap fill (reference griddata(method='cubic')
+    analog): separable Catmull–Rom through the four nearest anchors,
+    same max-gap gate. Validated in tests/test_gapfill.py."""
+    from .operators.gapfill import FILLED_SCHEMA, fill_grid_cubic
+    import numpy as np
+    import pandas as pd
+
+    def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        gx0, gy0 = int(pdf["gx"].min()), int(pdf["gy"].min())
+        nx = int(pdf["gx"].max()) - gx0 + 1
+        ny = int(pdf["gy"].max()) - gy0 + 1
+        grid = np.full((nx, ny), np.nan)
+        ix = pdf["gx"].to_numpy(dtype=int) - gx0
+        iy = pdf["gy"].to_numpy(dtype=int) - gy0
+        vals = pdf["building_z"].to_numpy(dtype=np.float64)
+        grid[ix, iy] = vals
+        was_gap = np.isnan(vals)
+        out_vals = fill_grid_cubic(grid, max_gap=6)[ix, iy]
+        return pd.DataFrame(
+            {
+                "tilecode": pdf["tilecode"],
+                "gx": pdf["gx"].astype("int64"),
+                "gy": pdf["gy"].astype("int64"),
+                "building_z": out_vals,
+                "was_gap": was_gap,
+                "filled": was_gap & ~np.isnan(out_vals),
+            }
+        )
+
+    return R.raster_df(spark).select(
+        "tilecode",
+        F.col("gx").cast("long").alias("gx"),
+        F.col("gy").cast("long").alias("gy"),
+        "building_z",
+    ).groupBy("tilecode").applyInPandas(per_tile, schema=FILLED_SCHEMA)
+
+
 # ----------------------------------------------------------------------
 # LayerLCC: per-height-band CC + seed growing, sequential band fold
 # (reference layer_lcc.py:70-136 — band filter :70-93, loop :131-136)
