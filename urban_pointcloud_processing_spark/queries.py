@@ -1576,6 +1576,97 @@ def q_tram_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cable_fuser_labels",
+    f"""
+WITH feats AS ({pca_cell_features_sql(PAGES_CTE, 5.0, 3).strip()}),
+cables AS (
+  SELECT cell_x, cell_y, cell_x * 100000 + cell_y AS cluster_id
+  FROM feats WHERE linearity > 0.9 AND n_points >= 4
+),
+pts AS ({PAGES_CTE}),
+members AS (
+  SELECT c.cluster_id, p.page_id, p.x, p.y,
+         p.z - {_GZ} AS h
+  FROM pts p JOIN cables c
+    ON CAST(floor(p.x / 5.0) AS BIGINT) = c.cell_x
+   AND CAST(floor(p.y / 5.0) AS BIGINT) = c.cell_y
+),
+trackd AS (
+  SELECT m.cluster_id, MIN({_seg_d2_sql('m.x', 'm.y')}) AS min_track_d2
+  FROM members m CROSS JOIN {line_segments_values_sql()}
+  GROUP BY m.cluster_id
+),
+hstats AS (
+  SELECT cluster_id, MIN(h) AS min_height FROM members GROUP BY cluster_id
+),
+verdict AS (
+  SELECT s.cluster_id,
+         (t.min_track_d2 <= {_TRAM_BUF ** 2}
+          AND s.min_height < {_TRAM_MAX_H}) AS is_tram
+  FROM hstats s JOIN trackd t ON t.cluster_id = s.cluster_id
+)
+SELECT m.page_id, CASE WHEN v.is_tram THEN 70 ELSE 79 END AS label
+FROM members m JOIN verdict v ON v.cluster_id = m.cluster_id
+""",
+)
+def q_cable_fuser_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CableFuser labelling (reference get_labels,
+    cable_fuser.py:690-745: detect cables → classify tram cables →
+    assign CABLE/TRAM_CABLE): every cable-cluster member page gets
+    label 70 where its cluster passes the tram rule, else 79. The
+    suspended-streetlight step is the armatuur_search composite over
+    the same clusters."""
+    pages = pages_from_orders(spark, sf_dir)
+    feats = pca_cell_features(pages, 5.0, 3)
+    cables = feats.filter(
+        (F.col("linearity") > 0.9) & (F.col("n_points") >= 4)
+    ).select(
+        "cell_x", "cell_y",
+        (F.col("cell_x") * F.lit(100000) + F.col("cell_y")).alias("cluster_id"),
+    )
+    gz = R.ground_z_col(F.floor(F.col("x")), F.floor(F.col("y")))
+    members = (
+        pages.withColumns(
+            {
+                "cell_x": F.floor(F.col("x") / 5.0).cast("long"),
+                "cell_y": F.floor(F.col("y") / 5.0).cast("long"),
+            }
+        )
+        .join(F.broadcast(cables), ["cell_x", "cell_y"])
+        .select("cluster_id", "page_id", "x", "y", (F.col("z") - gz).alias("h"))
+        .localCheckpoint(eager=True)
+    )
+    segs = line_segments_df(spark).select("x1", "y1", "x2", "y2")
+    l2 = (F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1")) + (
+        F.col("y2") - F.col("y1")
+    ) * (F.col("y2") - F.col("y1"))
+    traw = (
+        (F.col("x") - F.col("x1")) * (F.col("x2") - F.col("x1"))
+        + (F.col("y") - F.col("y1")) * (F.col("y2") - F.col("y1"))
+    ) / l2
+    t = F.least(F.greatest(traw, F.lit(0.0)), F.lit(1.0))
+    dx = F.col("x") - (F.col("x1") + t * (F.col("x2") - F.col("x1")))
+    dy = F.col("y") - (F.col("y1") + t * (F.col("y2") - F.col("y1")))
+    trackd = (
+        members.crossJoin(F.broadcast(segs))
+        .groupBy("cluster_id")
+        .agg(F.min(dx * dx + dy * dy).alias("min_track_d2"))
+    )
+    hstats = members.groupBy("cluster_id").agg(F.min("h").alias("min_height"))
+    verdict = hstats.join(trackd, "cluster_id").select(
+        "cluster_id",
+        (
+            (F.col("min_track_d2") <= F.lit(_TRAM_BUF ** 2))
+            & (F.col("min_height") < F.lit(_TRAM_MAX_H))
+        ).alias("is_tram"),
+    )
+    return members.join(F.broadcast(verdict), "cluster_id").select(
+        "page_id",
+        F.when(F.col("is_tram"), F.lit(70)).otherwise(F.lit(79)).alias("label"),
+    )
+
+
 # ----------------------------------------------------------------------
 # CRS conversion + hierarchical cells (reference rd_converter.py:43-95;
 # north_star H3/S2 encode)
