@@ -259,8 +259,9 @@ SKEW_ROWS = int(os.environ.get("SPARK_GRAFT_SKEW_ROWS", 2_000_000))
 
 
 def _skew_count_plan(spark, salt_target):
-    """Skewed-fixture candidate join (VERDICT r01 item 8): 60 % of the
-    probe rows land in ONE spatial cell (a dense-urban-cell stand-in);
+    """Skewed-fixture candidate join (VERDICT r01 item 8): 10 % of the
+    probe rows (~200 k of 2 M) land in ONE spatial cell (a
+    dense-urban-cell stand-in);
     the pair count forces full candidate materialization. Returns the
     count aggregate plan so each timed run re-executes the join."""
     from pyspark.sql import functions as F
@@ -272,7 +273,7 @@ def _skew_count_plan(spark, salt_target):
     ids = spark.range(SKEW_ROWS, numPartitions=64).select(
         F.col("id").alias("page_id")
     )
-    # 5 % of probe rows AND half the build rows land in cell (0,0):
+    # 10 % of probe rows AND half the build rows land in cell (0,0):
     # ~200k probe × ~5000 build = 10^9 candidate pairs on ONE cell key
     hot = F.col("page_id") % 10 < 1
     hx = ((F.col("page_id") * 2654435761) % 20000) / 1000.0
@@ -392,10 +393,26 @@ def _run_subquad() -> None:
             .filter(F.col("a.vec_id") < F.col("b.vec_id"))
             .select(F.col("a.vec_id"), F.col("b.vec_id")).distinct().count()
         )
+        # exact-Jaccard df-cap exposure: shingles dropped from the
+        # self-join (df > cap) and the candidate-pair count they would
+        # have contributed (sum over hot shingles of df*(df-1)/2)
+        shing = D.shingle_table(docs).groupBy("sid").agg(
+            F.count("*").alias("df")
+        )
+        hot = shing.filter(F.col("df") > D.JACCARD_DF_CAP)
+        hot_row = hot.agg(
+            F.count("*").alias("n_hot"),
+            F.coalesce(
+                F.sum(F.col("df") * (F.col("df") - 1) / 2), F.lit(0)
+            ).alias("pairs_avoided"),
+        ).collect()[0]
         out[sf] = {
             "n_docs": n_docs,
             "simhash_block_cands": sim_cand,
             "cosine_lsh_cands": cos_cand,
+            "jaccard_hot_shingles_dropped": int(hot_row["n_hot"]),
+            "jaccard_pairs_avoided": int(hot_row["pairs_avoided"]),
+            "jaccard_df_cap": D.JACCARD_DF_CAP,
         }
     spark.stop()
     g = lambda k: out["sf0.1"][k] / max(out["sf0.01"][k], 1)  # noqa: E731
@@ -452,7 +469,7 @@ def main() -> None:
     if "--skew" in sys.argv:
         skew = _run_skew()
         print(json.dumps({
-            "metric": "skewed candidate join (60%%-hot cell, %d rows)"
+            "metric": "skewed candidate join (10%%-hot cell, %d rows)"
                       % SKEW_ROWS,
             "value": skew["skew_join_salted"],
             "unit": "sec",
@@ -525,7 +542,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     flagship = sum(timings[n] for n in SCALING if n in timings)
     # skew demonstration (VERDICT r01 item 8): salted vs unsalted vs AQE
-    # on a 60%-hot-cell fixture; separate session, not part of `value`.
+    # on a 10%-hot-cell fixture; separate session, not part of `value`.
     skew = _run_skew()
     print(json.dumps({
         "metric": "headline suite wall time (spatial join + tiling + "

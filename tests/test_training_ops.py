@@ -58,6 +58,22 @@ def test_jaccard_identical_docs_is_one(spark):
     assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in rows] == [(0, 1, 1.0)]
 
 
+def test_jaccard_df_cap_drops_boilerplate_shingles(spark):
+    """Shingles with document frequency > df_cap are excluded from the
+    self-join: two docs sharing ONLY a boilerplate shingle (present in
+    every doc) produce no pair at df_cap below the df, and the same
+    pair reappears with the cap lifted."""
+    boiler = "click here to"
+    texts = [f"{boiler} page{v}" for v in range(4)]
+    df = _docs(spark, texts)
+    # every doc's only shingles involve the 3-word boilerplate prefix:
+    # "click here to", "here to pageN" — df("click here to") = 4
+    capped = jaccard_pairs(df, n=3, threshold=0.01, df_cap=3).collect()
+    assert capped == []
+    uncapped = jaccard_pairs(df, n=3, threshold=0.01, df_cap=1000).collect()
+    assert len(uncapped) == 6  # all 4-choose-2 pairs share the shingle
+
+
 def test_lsh_candidates_include_identical_docs(spark):
     df = _docs(spark, ["w1 w2 w3 w4 w5", "w1 w2 w3 w4 w5", "y1 y2 y3 y4 y5"])
     sig = minhash_signatures(df, n=3)

@@ -57,11 +57,13 @@ def test_parse_wfs_polygons(spark):
 
 
 def test_parse_wfs_linestrings(spark):
+    # Real GeoJSON LineString nesting: coordinates = [[x, y], ...]
+    # (two levels — NOT wrapped in a ring array like polygons).
     payload = json.dumps(
         {
             "name": "BGT_V_tramspoor",
             "features": [
-                {"geometry": {"coordinates": [[[0.0, 0.0], [5.0, 1.0]]]},
+                {"geometry": {"coordinates": [[0.0, 0.0], [5.0, 1.0]]},
                  "properties": {}}
             ],
         }

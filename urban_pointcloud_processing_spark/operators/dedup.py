@@ -57,11 +57,11 @@ def simhash_blocks(max_hamming: int) -> tuple[int, int]:
     max_hamming (not hard-wired) so a larger d never silently loses
     recall; unsupported d (uneven split) fails loudly."""
     blocks = max_hamming + 1
-    if SIMHASH_BITS % blocks != 0:
+    if max_hamming < 1 or max_hamming > 5 or SIMHASH_BITS % blocks != 0:
         raise ValueError(
-            f"max_hamming={max_hamming} needs {blocks} equal pigeonhole "
-            f"blocks but {SIMHASH_BITS} bits do not split evenly; "
-            f"supported max_hamming: 1,2,3,4,5"
+            f"max_hamming={max_hamming} unsupported: need 1 <= d <= 5 "
+            f"and {SIMHASH_BITS} % (d+1) == 0 (d+1 equal-width pigeonhole "
+            f"blocks); supported max_hamming: 1,2,3,4,5"
         )
     return blocks, SIMHASH_BITS // blocks
 
@@ -133,10 +133,32 @@ shingles AS (SELECT doc_id, {str_hash_sql('sh')} AS sid FROM sh)
 # n-gram Jaccard all-pairs (shingle equi-join, no cross join)
 # ----------------------------------------------------------------------
 
-def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+# Document-frequency cap for the exact-Jaccard shingle self-join: a
+# shingle appearing in more than DF_CAP documents contributes df² rows
+# to the candidate join — boilerplate shingles ("click here to", nav
+# bars) make the exact variant quadratic at web scale. Dropping them
+# from the JOIN ONLY (sizes still count every shingle) bounds the
+# per-shingle blow-up at DF_CAP²; MinHash+LSH remains the sanctioned
+# scale path for full recall. The oracle SQL applies the same cap, so
+# the check stays bit-exact.
+JACCARD_DF_CAP = 1000
+
+
+def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                  df_cap: int = JACCARD_DF_CAP) -> DataFrame:
     sh = shingle_table(docs, n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    hot = (
+        sh.groupBy("sid")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > df_cap)
+        .select("sid")
+    )
+    # left_anti against the (tiny) hot-shingle dim — broadcastable;
+    # intersection counts for capped shingles are forfeited, which can
+    # only LOWER a pair's Jaccard estimate (conservative for dedup).
+    cold = sh.join(F.broadcast(hot), "sid", "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
     inter = (
         a.join(b, "sid")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -163,13 +185,20 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFr
     )
 
 
-def jaccard_pairs_sql(n: int = 3, threshold: float = 0.5) -> str:
+def jaccard_pairs_sql(n: int = 3, threshold: float = 0.5,
+                      df_cap: int = JACCARD_DF_CAP) -> str:
     return f"""
 WITH {shingle_cte_sql(n)},
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+cold AS (
+  SELECT * FROM shingles
+  WHERE sid NOT IN (
+    SELECT sid FROM shingles GROUP BY sid HAVING COUNT(*) > {df_cap}
+  )
+),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM shingles a JOIN shingles b ON a.sid = b.sid AND a.doc_id < b.doc_id
+  FROM cold a JOIN cold b ON a.sid = b.sid AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,

@@ -625,26 +625,46 @@ def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH RECURSIVE {_CC_BASE},
 sizes AS (
-  SELECT c.component, COUNT(*) AS n_points
+  SELECT c.component, COUNT(*) AS n_points,
+         CAST(floor((c.component // 2147483648) / 50.0) AS BIGINT) AS tile_x,
+         CAST(floor((c.component % 2147483648) / 50.0) AS BIGINT) AS tile_y
   FROM ground g JOIN comp c ON g.cx * 2147483648 + g.cy = c.cell
   GROUP BY c.component
 )
-SELECT component, n_points,
-       CAST(row_number() OVER (ORDER BY n_points DESC, component)
+SELECT component, n_points, tile_x, tile_y,
+       CAST(row_number() OVER (PARTITION BY tile_x, tile_y
+                               ORDER BY n_points DESC, component)
             AS BIGINT) AS size_rank
 FROM sizes
 """,
 )
 def q_cluster_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-first cluster rank (reference processes components in
-    descending size order, e.g. cable_fuser.py cluster loops;
-    deterministic (size desc, component) tie-break)."""
+    descending size order WITHIN a tile's cluster loop,
+    cable_fuser.py:340; deterministic (size desc, component)
+    tie-break).
+
+    Scale note (VERDICT r02 item 1): the window is partitioned by the
+    component's home tile — decoded from the canonical min-cell key, so
+    no extra join/shuffle — instead of a global orderBy window that
+    would funnel every component row through one task at 100 TB.
+    Cell coords here are non-negative (RD meters), so the pairing-key
+    decode is plain div/mod."""
     from pyspark.sql import Window
 
     sizes = q_component_sizes(spark, sf_dir)
-    w = Window.orderBy(F.desc("n_points"), F.col("component"))
-    return sizes.select(
+    sized = sizes.select(
         "component", "n_points",
+        F.floor(F.expr("component div 2147483648") / 50.0)
+        .cast("long").alias("tile_x"),
+        F.floor(F.expr("component % 2147483648") / 50.0)
+        .cast("long").alias("tile_y"),
+    )
+    w = Window.partitionBy("tile_x", "tile_y").orderBy(
+        F.desc("n_points"), F.col("component")
+    )
+    return sized.select(
+        "component", "n_points", "tile_x", "tile_y",
         F.row_number().over(w).cast("long").alias("size_rank"),
     )
 
@@ -1200,11 +1220,20 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same oracle as `sessionize`). Holds whenever the feed delivers a
     user's events in time order across micro-batches, which the
     single-file fixture drain does."""
+    import shutil
     import tempfile
 
     from .streaming.sessionize import run_sessionize_available_now
 
-    tmp = tempfile.mkdtemp(prefix="upcp_sess_q_")
+    # Fixed per-(session, sf) scratch path, cleared at the start of every
+    # invocation so repeated driver/bench runs don't accumulate input
+    # copies + checkpoint/output dirs (ADVICE r02). Keyed on the Spark
+    # app id so concurrent sessions never share a checkpoint dir.
+    tmp = (
+        f"{tempfile.gettempdir()}/upcp_sess_q_"
+        f"{spark.sparkContext.applicationId}_{abs(hash(sf_dir)) % 10**8}"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
     events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id", "user_id", "ts"
     )

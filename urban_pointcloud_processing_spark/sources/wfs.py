@@ -62,6 +62,39 @@ WFS_SCHEMA = StructType(
     ]
 )
 
+# LineString features: geometry.coordinates is [[x, y], ...] (TWO
+# levels, per GeoJSON) — one level shallower than polygon rings. The
+# reference parse_linestrings (ams_bgt_scraper.py:94-113) reads
+# geometry.coordinates directly, so we need a distinct schema.
+WFS_LINESTRING_SCHEMA = StructType(
+    [
+        StructField("name", StringType()),
+        StructField(
+            "features",
+            ArrayType(
+                StructType(
+                    [
+                        StructField(
+                            "geometry",
+                            StructType(
+                                [
+                                    StructField(
+                                        "coordinates",
+                                        ArrayType(ArrayType(DoubleType())),
+                                    )
+                                ]
+                            ),
+                        ),
+                        StructField(
+                            "properties", MapType(StringType(), StringType())
+                        ),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
 # NDW: [{"location": {"rd": {"x": ..., "y": ...}}}, ...]
 NDW_SCHEMA = ArrayType(
     StructType(
@@ -127,15 +160,16 @@ def parse_wfs_polygons(payloads: DataFrame,
 
 def parse_wfs_linestrings(payloads: DataFrame,
                           payload_col: str = "payload") -> DataFrame:
-    """(bgt_type, linestring) — reference parse_linestrings (the
-    linestring is coordinates flattened one level: [[x, y], ...])."""
-    doc = F.from_json(F.col(payload_col), WFS_SCHEMA)
+    """(bgt_type, linestring) — reference parse_linestrings reads
+    geometry.coordinates directly; a GeoJSON LineString is [[x, y], ...]
+    (two nesting levels, unlike a polygon's ring array)."""
+    doc = F.from_json(F.col(payload_col), WFS_LINESTRING_SCHEMA)
     return payloads.select(
         _layer_name(doc["name"]).alias("bgt_type"),
         F.explode(doc["features"]).alias("f"),
     ).select(
         "bgt_type",
-        F.col("f.geometry.coordinates")[0].alias("linestring"),
+        F.col("f.geometry.coordinates").alias("linestring"),
     )
 
 
