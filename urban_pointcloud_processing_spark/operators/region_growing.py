@@ -15,8 +15,8 @@ Spark-first re-expression (voxel-level, like the rest of the engine):
    CURVATURE is the unexplained-variance fraction
    (Czz − explained)/(Cxx+Cyy+Czz) — the planar-residual analog of the
    reference's λ_min/Σλ. Both are closed-form RATIONAL functions of
-   exact integer millimetre moments (two-pass centered sums like
-   operators/pca.py), so Spark and the DuckDB oracle produce
+   exact integer millimetre moments (one-pass corner-centered sums —
+   central moments are shift-invariant), so Spark and the DuckDB oracle produce
    bit-identical doubles — no eigen-solver, no libm calls. The normal
    is kept unnormalized, N ∝ (−(CxzCyy−CyzCxy), −(CyzCxx−CxzCxy), det),
    det = CxxCyy−Cxy² > 0 ⇒ Nz > 0, so there is no sign ambiguity.
@@ -102,25 +102,24 @@ def voxel_normals(
     voxed = points if "vcell" in points.columns else _with_voxels(
         points, voxel
     )
+    # Center on the voxel CORNER (vx·voxel in mm) instead of the per-voxel
+    # min: the n²-scaled central moments below are exactly invariant under
+    # any per-group integer shift, and the corner is a pure function of
+    # the voxel key — so the first-pass min aggregation + join-back of the
+    # old two-pass scheme is unnecessary. ONE shuffle (map-side partial
+    # agg on the voxel key) replaces two shuffles + a broadcast join.
+    # dx stays in [0, voxel·1000], the same magnitude bound min-centering
+    # gave, so the ≤ ~10⁴-points-per-voxel exactness bound is unchanged.
+    vmm = int(round(voxel * 1000))
+    assert abs(voxel * 1000 - vmm) < 1e-9, "voxel must be a whole mm"
     pts = voxed.select(
         "vcell", "vx", "vy", "vz",
-        _mm(F.col("x")).alias("x_mm"),
-        _mm(F.col("y")).alias("y_mm"),
-        _mm(F.col("z")).alias("z_mm"),
+        (_mm(F.col("x")) - F.col("vx") * F.lit(vmm)).alias("dx"),
+        (_mm(F.col("y")) - F.col("vy") * F.lit(vmm)).alias("dy"),
+        (_mm(F.col("z")) - F.col("vz") * F.lit(vmm)).alias("dz"),
     )
-    mins = pts.groupBy("vcell", "vx", "vy", "vz").agg(
-        F.min("x_mm").alias("min_x"),
-        F.min("y_mm").alias("min_y"),
-        F.min("z_mm").alias("min_z"),
+    sums = pts.groupBy("vcell", "vx", "vy", "vz").agg(
         F.count("*").alias("n_points"),
-    ).filter(F.col("n_points") >= min_points)
-    centered = pts.join(F.broadcast(mins), ["vcell", "vx", "vy", "vz"]).select(
-        "vcell", "vx", "vy", "vz", "n_points",
-        (F.col("x_mm") - F.col("min_x")).alias("dx"),
-        (F.col("y_mm") - F.col("min_y")).alias("dy"),
-        (F.col("z_mm") - F.col("min_z")).alias("dz"),
-    )
-    sums = centered.groupBy("vcell", "vx", "vy", "vz", "n_points").agg(
         F.sum("dx").alias("sx"), F.sum("dy").alias("sy"), F.sum("dz").alias("sz"),
         F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
         F.sum(F.col("dy") * F.col("dy")).alias("syy"),
@@ -128,7 +127,7 @@ def voxel_normals(
         F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
         F.sum(F.col("dx") * F.col("dz")).alias("sxz"),
         F.sum(F.col("dy") * F.col("dz")).alias("syz"),
-    )
+    ).filter(F.col("n_points") >= min_points)
     n = F.col("n_points")
     # n²-scaled central moments — exact BIGINTs
     moms = sums.select(
@@ -198,7 +197,8 @@ def _gated_edges(vox: DataFrame, cos2: float) -> DataFrame:
 
 
 def _edge_cc_two_level(nodes: DataFrame, edges: DataFrame,
-                       block_cells: int = 16) -> DataFrame:
+                       block_cells: int = 16,
+                       persists: list | None = None) -> DataFrame:
     """(node, comp) — min-key components over an EXPLICIT edge list in
     ONE pass (no iteration): nodes partition into spatial blocks
     (decoded from the voxel key), intra-block edges resolve with a
@@ -210,17 +210,26 @@ def _edge_cc_two_level(nodes: DataFrame, edges: DataFrame,
     import pandas as pd
 
     bs = block_cells
-    vx = F.floor(F.col("node") / F.lit(SHIFT * SHIFT)).cast("long")
-    vy = F.pmod(F.floor(F.col("node") / F.lit(SHIFT)), F.lit(SHIFT))
-    blocked = nodes.select(
-        "node",
-        F.floor(vx / F.lit(bs)).cast("long").alias("_bx"),
-        F.floor(vy / F.lit(bs)).cast("long").alias("_by"),
-    )
-    ed = (
-        edges.join(blocked.withColumnRenamed("node", "src"), "src")
-        .withColumnsRenamed({"_bx": "_sbx", "_by": "_sby"})
-        .join(blocked.withColumnRenamed("node", "dst"), "dst")
+
+    def _block(key: str) -> tuple:
+        """Block coords decoded ARITHMETICALLY from the packed voxel key
+        — no join back to the node table (the old version shuffled the
+        edge list twice just to attach _bx/_by)."""
+        vx = F.floor(F.col(key) / F.lit(SHIFT * SHIFT)).cast("long")
+        vy = F.pmod(F.floor(F.col(key) / F.lit(SHIFT)), F.lit(SHIFT))
+        return (
+            F.floor(vx / F.lit(bs)).cast("long"),
+            F.floor(vy / F.lit(bs)).cast("long"),
+        )
+
+    sbx, sby = _block("src")
+    dbx, dby = _block("dst")
+    nbx, nby = _block("node")
+    blocked = nodes.select("node", nbx.alias("_bx"), nby.alias("_by"))
+    ed = edges.select(
+        "src", "dst",
+        sbx.alias("_sbx"), sby.alias("_sby"),
+        dbx.alias("_bx"), dby.alias("_by"),
     )
     intra = ed.filter(
         (F.col("_sbx") == F.col("_bx")) & (F.col("_sby") == F.col("_by"))
@@ -256,6 +265,8 @@ def _edge_cc_two_level(nodes: DataFrame, edges: DataFrame,
         .applyInPandas(local_cc, schema=roots_schema)
         .persist()
     )
+    if persists is not None:
+        persists.append(local)
     inter = ed.filter(
         (F.col("_sbx") != F.col("_bx")) | (F.col("_sby") != F.col("_by"))
     ).select("src", "dst")
@@ -309,12 +320,12 @@ def region_grow(
     curvature seed-capability test."""
     cos2 = cos2_threshold(angle_deg)
     # the voxelized point table feeds normals, seed detection and the
-    # final label join — materialize the scan+voxelize once
-    ptsv = _with_voxels(points, voxel).localCheckpoint(eager=True)
+    # final label join — lazy persist (first use materializes; no
+    # up-front blocking job like the old eager localCheckpoint, which
+    # added a whole scheduling round before any useful work)
+    ptsv = _with_voxels(points, voxel).persist()
     vox = voxel_normals(ptsv, voxel, min_points).persist()
-    seed_vox = (
-        ptsv.filter(F.col(seed_col)).select("vcell").distinct().persist()
-    )
+    seed_vox = ptsv.filter(F.col(seed_col)).select("vcell").distinct()
     edges = _gated_edges(vox, cos2).persist()
 
     capable = vox.join(
@@ -327,7 +338,10 @@ def region_grow(
         .join(capable.select(F.col("node").alias("dst")), "dst")
         .select("src", "dst")
     )
-    comp = _edge_cc_two_level(capable.select("node"), cap_edges)
+    cc_persists: list = []
+    comp = _edge_cc_two_level(
+        capable.select("node"), cap_edges, persists=cc_persists
+    )
     grown_comps = (
         comp.join(
             capable.filter(F.col("_seed")).select("node"), "node"
@@ -343,18 +357,23 @@ def region_grow(
         .join(region_seeds, "vcell")
         .select(F.col("dst").alias("vcell"))
     )
+    # materialize the accepted-voxel set (voxel-table scale, tiny next to
+    # the point table) in ONE job, so every upstream cache can be
+    # released before the caller's action runs over the big point table
     accepted = (
         region_seeds.unionByName(frontier)
         .unionByName(seed_vox)
         .distinct()
         .withColumn("_grown", F.lit(True))
+        .localCheckpoint(eager=True)
     )
+    vox.unpersist()
+    edges.unpersist()
+    for df in cc_persists:
+        df.unpersist()
     out = ptsv.join(F.broadcast(accepted), "vcell", "left").withColumn(
         "grown", F.col("_grown").isNotNull()
     )
-    vox.unpersist()
-    seed_vox.unpersist()
-    edges.unpersist()
     return out.drop("_grown", "vcell", "vx", "vy", "vz")
 
 
@@ -375,6 +394,7 @@ def region_grow_sql(
     (page_id, grown). Must be prefixed WITH RECURSIVE by the caller."""
     cos2 = repr(cos2_threshold(angle_deg))
     v = repr(float(voxel))
+    vmm = int(round(voxel * 1000))
     return f"""
 rg_pts AS ({pts_cte}),
 rg_vox AS (
@@ -391,25 +411,22 @@ rg_vox AS (
          ({seed_pred}) AS is_seed
   FROM rg_pts
 ),
-rg_mins AS (
-  SELECT vcell, MIN(x_mm) AS min_x, MIN(y_mm) AS min_y, MIN(z_mm) AS min_z,
-         COUNT(*) AS n_points
+rg_sums AS (
+  -- one-pass corner-centered sums: central moments are shift-invariant
+  -- in exact integer arithmetic, so centering on vx·{vmm} (the voxel
+  -- corner in mm) gives the SAME cxx..cyz as min-centering would
+  SELECT vcell, ANY_VALUE(vx) AS vx, ANY_VALUE(vy) AS vy,
+         ANY_VALUE(vz) AS vz, COUNT(*) AS n_points,
+         SUM(x_mm - vx * {vmm}) AS sx, SUM(y_mm - vy * {vmm}) AS sy,
+         SUM(z_mm - vz * {vmm}) AS sz,
+         SUM((x_mm - vx * {vmm}) * (x_mm - vx * {vmm})) AS sxx,
+         SUM((y_mm - vy * {vmm}) * (y_mm - vy * {vmm})) AS syy,
+         SUM((z_mm - vz * {vmm}) * (z_mm - vz * {vmm})) AS szz,
+         SUM((x_mm - vx * {vmm}) * (y_mm - vy * {vmm})) AS sxy,
+         SUM((x_mm - vx * {vmm}) * (z_mm - vz * {vmm})) AS sxz,
+         SUM((y_mm - vy * {vmm}) * (z_mm - vz * {vmm})) AS syz
   FROM rg_vox GROUP BY vcell
   HAVING COUNT(*) >= {min_points}
-),
-rg_sums AS (
-  SELECT p.vcell, ANY_VALUE(p.vx) AS vx, ANY_VALUE(p.vy) AS vy,
-         ANY_VALUE(p.vz) AS vz, m.n_points,
-         SUM(p.x_mm - m.min_x) AS sx, SUM(p.y_mm - m.min_y) AS sy,
-         SUM(p.z_mm - m.min_z) AS sz,
-         SUM((p.x_mm - m.min_x) * (p.x_mm - m.min_x)) AS sxx,
-         SUM((p.y_mm - m.min_y) * (p.y_mm - m.min_y)) AS syy,
-         SUM((p.z_mm - m.min_z) * (p.z_mm - m.min_z)) AS szz,
-         SUM((p.x_mm - m.min_x) * (p.y_mm - m.min_y)) AS sxy,
-         SUM((p.x_mm - m.min_x) * (p.z_mm - m.min_z)) AS sxz,
-         SUM((p.y_mm - m.min_y) * (p.z_mm - m.min_z)) AS syz
-  FROM rg_vox p JOIN rg_mins m ON m.vcell = p.vcell
-  GROUP BY p.vcell, m.n_points
 ),
 rg_moms AS (
   SELECT vcell, vx, vy, vz, n_points,
