@@ -1,0 +1,56 @@
+"""The canonical 15-stage pipeline composite (plans/full_pipeline.py).
+
+Reference behavior re-created: notebooks/`0. Complete solution.ipynb`
+process_sequence folded with mask = labels == 0 (pipeline.py:88-95).
+Cross-engine value-exactness is covered by the driver oracle
+(pipeline_full / pipeline_full_hist); these tests pin the fold
+mechanics that the oracle can't isolate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from urban_pointcloud_processing_spark.labels import Labels
+from urban_pointcloud_processing_spark.plans.full_pipeline import (
+    _claims_grower,
+    full_pipeline_labels,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_grower_claims_unlabelled_members_of_seeded_components(spark):
+    """A component whose seed fraction exceeds the threshold grows the
+    label onto its UNLABELLED members only; an unseeded component stays
+    untouched (layer_lcc.py:70-136)."""
+    L = int(Labels.BUILDING)
+    rows = []
+    # component A: 10 points in a row, 2 seeded with L -> frac 0.2 > 0.1
+    for i in range(10):
+        rows.append((i, 100.0 + i, 50.5, 3.0, L if i < 2 else 0))
+    # component B: 5 points far away, no seeds
+    for i in range(5):
+        rows.append((100 + i, 300.0 + i, 80.5, 3.0, 0))
+    df = spark.createDataFrame(rows, ["page_id", "x", "y", "z", "label"])
+    # gz = 2.0 everywhere puts z=3.0 inside GROW_BAND (0.5, 2.5)... dz=1.0
+    df = df.withColumn("gz", F.lit(2.0))
+    claims = {r["page_id"]: r["lbl"] for r in _claims_grower(df, L).collect()}
+    assert set(claims.values()) == {L}
+    assert set(claims) == set(range(2, 10))  # A's unlabelled members only
+
+
+def test_full_pipeline_first_writer_wins_and_claims(spark):
+    """End-to-end at sf0.001: one label per page, labels drawn from the
+    taxonomy, and the early stages all claim (the sparse fixture can't
+    light the pole/furniture stages — sf0.01 does, see the driver
+    CORRECTNESS rows)."""
+    out = full_pipeline_labels(spark, SF_DIR)
+    rows = out.groupBy("label").count().collect()
+    hist = {r["label"]: r["count"] for r in rows}
+    assert sum(hist.values()) == 1500
+    assert set(hist) <= set(Labels.STR_DICT)
+    for expected in (Labels.ROAD, Labels.GROUND, Labels.BUILDING,
+                     Labels.CABLE, Labels.NOISE):
+        assert hist.get(int(expected), 0) > 0, expected
+    # exactly one row per page (the fold never duplicates)
+    assert out.select("page_id").distinct().count() == 1500

@@ -103,54 +103,57 @@ def dbscan_sql(
     wpts_cte: str,
     eps: float,
     min_samples: int,
+    prefix: str = "db",
 ) -> str:
     """CTE chain (to splice after WITH RECURSIVE) ending in
-    ``db_assign(win_id, pid, cluster)`` — noise rows excluded — over a
-    CTE producing (win_id, pid, x, y)."""
+    ``{prefix}_assign(win_id, pid, cluster)`` — noise rows excluded —
+    over a CTE producing (win_id, pid, x, y). ``prefix`` namespaces the
+    CTEs so several DBSCAN chains can coexist in one oracle query
+    (e.g. the three pole stages of the full pipeline)."""
     e2 = repr(eps * eps)
     return f"""
-db_wpts AS ({wpts_cte}),
-db_pairs AS (
+{prefix}_wpts AS ({wpts_cte}),
+{prefix}_pairs AS (
   SELECT a.win_id, a.pid AS pa, b.pid AS pb,
          (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
-  FROM db_wpts a JOIN db_wpts b ON a.win_id = b.win_id
+  FROM {prefix}_wpts a JOIN {prefix}_wpts b ON a.win_id = b.win_id
   WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {e2}
 ),
-db_core AS (
-  SELECT win_id, pa AS pid FROM db_pairs
+{prefix}_core AS (
+  SELECT win_id, pa AS pid FROM {prefix}_pairs
   GROUP BY win_id, pa HAVING COUNT(*) >= {min_samples}
 ),
-db_core_edges AS (
+{prefix}_core_edges AS (
   SELECT p.win_id, p.pa AS src, p.pb AS dst
-  FROM db_pairs p
-  JOIN db_core ca ON ca.win_id = p.win_id AND ca.pid = p.pa
-  JOIN db_core cb ON cb.win_id = p.win_id AND cb.pid = p.pb
+  FROM {prefix}_pairs p
+  JOIN {prefix}_core ca ON ca.win_id = p.win_id AND ca.pid = p.pa
+  JOIN {prefix}_core cb ON cb.win_id = p.win_id AND cb.pid = p.pb
 ),
-db_reach(win_id, src, node) AS (
-  SELECT win_id, pid, pid FROM db_core
+{prefix}_reach(win_id, src, node) AS (
+  SELECT win_id, pid, pid FROM {prefix}_core
   UNION
   SELECT r.win_id, r.src, e.dst
-  FROM db_reach r JOIN db_core_edges e
+  FROM {prefix}_reach r JOIN {prefix}_core_edges e
     ON e.win_id = r.win_id AND e.src = r.node
 ),
-db_comp AS (
+{prefix}_comp AS (
   SELECT win_id, src AS pid, MIN(node) AS cluster
-  FROM db_reach GROUP BY win_id, src
+  FROM {prefix}_reach GROUP BY win_id, src
 ),
-db_border AS (
+{prefix}_border AS (
   SELECT win_id, pid, cluster FROM (
     SELECT p.win_id, p.pa AS pid, c.cluster,
            row_number() OVER (
              PARTITION BY p.win_id, p.pa ORDER BY p.d2, p.pb) AS rn
-    FROM db_pairs p
-    JOIN db_comp c ON c.win_id = p.win_id AND c.pid = p.pb
+    FROM {prefix}_pairs p
+    JOIN {prefix}_comp c ON c.win_id = p.win_id AND c.pid = p.pb
     WHERE NOT EXISTS (
-      SELECT 1 FROM db_core k WHERE k.win_id = p.win_id AND k.pid = p.pa
+      SELECT 1 FROM {prefix}_core k WHERE k.win_id = p.win_id AND k.pid = p.pa
     )
   ) WHERE rn = 1
 ),
-db_assign AS (
-  SELECT win_id, pid, cluster FROM db_comp
+{prefix}_assign AS (
+  SELECT win_id, pid, cluster FROM {prefix}_comp
   UNION ALL
-  SELECT win_id, pid, cluster FROM db_border
+  SELECT win_id, pid, cluster FROM {prefix}_border
 )"""

@@ -2971,6 +2971,40 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.media_features(M.synth_media(_docs(spark, sf_dir)), 24)
 
 
+# ----------------------------------------------------------------------
+# The canonical 15-stage pipeline (reference notebooks/0. Complete
+# solution process_sequence + pipeline.py:88-95 masked fold) — the
+# product's acceptance artifact, as one first-writer-wins query.
+# ----------------------------------------------------------------------
+
+from .plans.full_pipeline import full_pipeline_labels, full_pipeline_sql  # noqa: E402
+
+
+@register("pipeline_full", full_pipeline_sql())
+def q_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page label after the full 15-stage notebook chain: ground
+    (+refine) → road → noise → building → cable → car → tree/light/sign
+    poles → rubbish-bin/city-bench furniture → the four LayerLCC
+    growers, each stage detecting on the still-unlabelled subset."""
+    return full_pipeline_labels(spark, sf_dir)
+
+
+@register(
+    "pipeline_full_hist",
+    full_pipeline_sql(
+        "SELECT label, COUNT(*) AS n_points FROM l15 GROUP BY label"
+    ),
+)
+def q_pipeline_full_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The acceptance artifact itself: the end-to-end label histogram
+    (reference analysis_tools.get_label_stats over the finished tile)."""
+    return (
+        full_pipeline_labels(spark, sf_dir)
+        .groupBy("label")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
