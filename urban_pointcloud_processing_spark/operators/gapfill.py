@@ -156,8 +156,39 @@ def fill_grid_cubic(grid: np.ndarray, max_gap: int = 6) -> np.ndarray:
     return g
 
 
-def fill_building_gaps(raster: DataFrame, max_rounds: int = 2) -> DataFrame:
-    """Grouped-map gap fill of the building surface per tile."""
+def fill_grid_centi_round1(grid: np.ndarray) -> np.ndarray:
+    """ONE fill round with exact arithmetic for centi-valued grids
+    (values on a 1/100 lattice, like the AHN surface): neighbors are
+    summed as exact round(z·100) integers (order-free in float64 below
+    2^53), then divided — so the result is bit-identical to the SQL
+    ``SUM(BIGINT)/COUNT/100`` oracle regardless of summation order."""
+    g = grid.astype(np.float64, copy=True)
+    gi = np.round(g * 100.0)
+    padded = np.pad(gi, 1, constant_values=np.nan)
+    stacks = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            stacks.append(
+                padded[1 + dx : 1 + dx + g.shape[0],
+                       1 + dy : 1 + dy + g.shape[1]]
+            )
+    neigh = np.stack(stacks)
+    counts = np.sum(~np.isnan(neigh), axis=0)
+    sums = np.nansum(neigh, axis=0)
+    fillable = np.isnan(g) & (counts > 0)
+    g[fillable] = sums[fillable] / counts[fillable] / 100.0
+    return g
+
+
+def fill_building_gaps(raster: DataFrame, max_rounds: int = 2,
+                       exact_centi: bool = False) -> DataFrame:
+    """Grouped-map gap fill of the building surface per tile.
+    ``exact_centi`` (requires max_rounds=1) switches to the
+    order-independent integer-sum round (fill_grid_centi_round1)."""
+    if exact_centi and max_rounds != 1:
+        raise ValueError("exact_centi fill is single-round")
 
     def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
         gx0, gy0 = int(pdf["gx"].min()), int(pdf["gy"].min())
@@ -169,7 +200,10 @@ def fill_building_gaps(raster: DataFrame, max_rounds: int = 2) -> DataFrame:
         vals = pdf["building_z"].to_numpy(dtype=np.float64)
         grid[ix, iy] = vals
         was_gap = np.isnan(vals)
-        filled_grid = fill_grid(grid, max_rounds)
+        filled_grid = (
+            fill_grid_centi_round1(grid) if exact_centi
+            else fill_grid(grid, max_rounds)
+        )
         out_vals = filled_grid[ix, iy]
         return pd.DataFrame(
             {
@@ -222,3 +256,130 @@ def fill_building_gaps_linear(raster: DataFrame, max_gap: int = 6) -> DataFrame:
         F.col("gy").cast("long").alias("gy"),
         "building_z",
     ).groupBy("tilecode").applyInPandas(per_tile, schema=FILLED_SCHEMA)
+
+
+# ----------------------------------------------------------------------
+# DuckDB oracle SQL (VERDICT r02 item 4: rows-only → value-exact).
+# The engine fills per tile (grouped map), so every oracle constrains
+# neighbors/anchors to the same tilecode. Filled values are rounded to
+# 6 decimals on BOTH sides: the only cross-engine nondeterminism is the
+# summation order of ≤8 doubles (mean fill) / the 2-term average, a
+# ≤1-ulp effect that the rounding absorbs (SURVEY.md §7.3 item 1).
+# ----------------------------------------------------------------------
+
+def _fill_out_sql(raster_cte: str, est_cte: str) -> str:
+    """Shared projection: original value where known, estimate where
+    fillable, quantized to floor(µ-units), was_gap/filled flags.
+
+    floor(x·1e6), NOT round(x, 6): the raw fills are bit-identical
+    across engines, but many land exactly on half-µ boundaries (the
+    anchors are centi-rationals and t is dyadic), where DuckDB's
+    multiply-then-round and Spark's BigDecimal HALF_UP disagree by one.
+    floor of the identically-computed double product is engine-exact."""
+    return f"""
+WITH raster AS ({raster_cte}),
+{est_cte}
+SELECT r.tilecode, r.gx, r.gy,
+       CAST(floor(COALESCE(r.building_z, e.est) * 1e6) AS BIGINT) AS bz_e6,
+       (r.building_z IS NULL) AS was_gap,
+       (r.building_z IS NULL AND e.est IS NOT NULL) AS filled
+FROM raster r LEFT JOIN est e ON e.gx = r.gx AND e.gy = r.gy
+"""
+
+
+def fill_gaps_sql(raster_cte: str) -> str:
+    """One-round 3×3 neighbor-mean fill (fill_grid, max_rounds=1)."""
+    est = """
+nb AS (
+  SELECT a.gx, a.gy,
+         CAST(round(b.building_z * 100.0) AS BIGINT) AS nz_c
+  FROM raster a JOIN raster b
+    ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+   AND NOT (a.gx = b.gx AND a.gy = b.gy)
+   AND a.tilecode = b.tilecode
+  WHERE a.building_z IS NULL AND b.building_z IS NOT NULL
+),
+est AS (
+  SELECT gx, gy, CAST(SUM(nz_c) AS DOUBLE) / COUNT(*) / 100.0 AS est
+  FROM nb GROUP BY gx, gy
+)"""
+    return _fill_out_sql(raster_cte, est.strip())
+
+
+def _axis_est_sql(axis: str, cubic: bool, max_gap: int) -> str:
+    """Per-axis in-gap estimate CTEs ({a}est). axis='r' partitions rows
+    (tilecode, gy ORDER BY gx); axis='c' partitions columns. The
+    rank-join reproduces the engine's searchsorted anchor pick: rleft =
+    #valid cells strictly before the gap cell along the axis."""
+    part, ordc = (("gy", "gx") if axis == "r" else ("gx", "gy"))
+    a = axis
+    t = f"((g.{ordc} - v1.{ordc}) / CAST(v2.{ordc} - v1.{ordc} AS DOUBLE))"
+    if not cubic:
+        formula = f"v1.bz * (1.0 - {t}) + v2.bz * {t}"
+        outer = ""
+    else:
+        p0 = "COALESCE(v0.bz, v1.bz)"
+        p3 = "COALESCE(v3.bz, v2.bz)"
+        formula = (
+            f"0.5 * ((2.0 * v1.bz) + (-{p0} + v2.bz) * {t} "
+            f"+ (2.0 * {p0} - 5.0 * v1.bz + 4.0 * v2.bz - {p3}) * {t} * {t} "
+            f"+ (-{p0} + 3.0 * v1.bz - 3.0 * v2.bz + {p3}) * {t} * {t} * {t})"
+        )
+        outer = f"""
+  LEFT JOIN {a}v v0 ON v0.tilecode = g.tilecode AND v0.{part} = g.{part}
+                    AND v0.rn = g.rleft - 1
+  LEFT JOIN {a}v v3 ON v3.tilecode = g.tilecode AND v3.{part} = g.{part}
+                    AND v3.rn = g.rleft + 2"""
+    return f"""
+{a}v AS (
+  SELECT tilecode, {part}, {ordc}, building_z AS bz,
+         row_number() OVER (PARTITION BY tilecode, {part}
+                            ORDER BY {ordc}) AS rn
+  FROM raster WHERE building_z IS NOT NULL
+),
+{a}nv AS (SELECT tilecode, {part}, COUNT(*) AS nv FROM {a}v
+          GROUP BY tilecode, {part}),
+{a}g AS (
+  SELECT * FROM (
+    SELECT r.tilecode, r.{part}, r.{ordc}, r.gx, r.gy, r.building_z,
+           COUNT(r.building_z) OVER (
+             PARTITION BY r.tilecode, r.{part} ORDER BY r.{ordc}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rleft
+    FROM raster r
+  ) WHERE building_z IS NULL
+),
+{a}est AS (
+  SELECT g.gx, g.gy, {formula} AS est
+  FROM {a}g g
+  JOIN {a}nv n ON n.tilecode = g.tilecode AND n.{part} = g.{part}
+  JOIN {a}v v1 ON v1.tilecode = g.tilecode AND v1.{part} = g.{part}
+               AND v1.rn = g.rleft
+  JOIN {a}v v2 ON v2.tilecode = g.tilecode AND v2.{part} = g.{part}
+               AND v2.rn = g.rleft + 1{outer}
+  WHERE g.rleft >= 1 AND g.rleft < n.nv
+    AND v2.{ordc} - v1.{ordc} <= {max_gap}
+)"""
+
+
+def _sep_fill_sql(raster_cte: str, cubic: bool, max_gap: int) -> str:
+    est = f"""
+{_axis_est_sql('r', cubic, max_gap).strip()},
+{_axis_est_sql('c', cubic, max_gap).strip()},
+est AS (
+  SELECT COALESCE(r.gx, c.gx) AS gx, COALESCE(r.gy, c.gy) AS gy,
+         CASE WHEN r.est IS NOT NULL AND c.est IS NOT NULL
+              THEN (r.est + c.est) / 2.0
+              ELSE COALESCE(r.est, c.est) END AS est
+  FROM rest r FULL OUTER JOIN cest c ON c.gx = r.gx AND c.gy = r.gy
+)"""
+    return _fill_out_sql(raster_cte, est.strip())
+
+
+def fill_gaps_linear_sql(raster_cte: str, max_gap: int = 6) -> str:
+    """Separable linear fill (fill_grid_linear)."""
+    return _sep_fill_sql(raster_cte, cubic=False, max_gap=max_gap)
+
+
+def fill_gaps_cubic_sql(raster_cte: str, max_gap: int = 6) -> str:
+    """Separable Catmull–Rom fill (fill_grid_cubic)."""
+    return _sep_fill_sql(raster_cte, cubic=True, max_gap=max_gap)

@@ -2270,30 +2270,54 @@ def q_cluster_dim_fuser(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("gap_fill")  # grouped-map NumPy fill: no SQL oracle (rows-only)
+def _fill_r6(df: DataFrame) -> DataFrame:
+    """Compared projection for the gap-fill family: floor-quantized
+    µ-units (floor(x·1e6)) — engine-exact even on the half-boundary
+    values where round(x, 6) semantics diverge between DuckDB
+    (multiply-then-round) and Spark (BigDecimal HALF_UP); see
+    operators/gapfill._fill_out_sql."""
+    return df.select(
+        "tilecode", "gx", "gy",
+        F.floor(F.col("building_z") * F.lit(1e6)).cast("long").alias("bz_e6"),
+        "was_gap", "filled",
+    )
+
+
+from .operators.gapfill import (  # noqa: E402
+    fill_gaps_cubic_sql,
+    fill_gaps_linear_sql,
+    fill_gaps_sql,
+)
+
+_RASTER_CTE = R.raster_cte_sql()
+
+
+@register("gap_fill", fill_gaps_sql(_RASTER_CTE))
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tile raster gap fill (reference ahn_utils.py:402-456
     fill_gaps_intuitive): iterative 3×3 neighbor-mean fill of NULL
-    building-surface cells, applyInPandas per tile. Validated against
-    a NumPy oracle in tests/test_gapfill.py."""
+    building-surface cells, applyInPandas per tile. NumPy oracle in
+    tests/test_gapfill.py; SQL oracle = one-round neighbor-mean."""
     from .operators.gapfill import fill_building_gaps
 
-    return fill_building_gaps(R.raster_df(spark), max_rounds=1)
+    return _fill_r6(
+        fill_building_gaps(R.raster_df(spark), max_rounds=1, exact_centi=True)
+    )
 
 
-@register("gap_fill_linear")  # grouped-map NumPy fill: rows-only
+@register("gap_fill_linear", fill_gaps_linear_sql(_RASTER_CTE))
 def q_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tile LINEAR gap fill (reference fill_gaps with
     griddata(method='linear') + max_gap_size gate, ahn_utils.py:
     346-400): separable row/column linear interpolation between the
     nearest valid anchors, gaps wider than max_gap left unfilled.
-    Validated in tests/test_gapfill.py."""
+    SQL oracle: rank-join anchor pick mirroring searchsorted."""
     from .operators.gapfill import fill_building_gaps_linear
 
-    return fill_building_gaps_linear(R.raster_df(spark), max_gap=6)
+    return _fill_r6(fill_building_gaps_linear(R.raster_df(spark), max_gap=6))
 
 
-@register("gap_fill_cubic")  # grouped-map NumPy fill: rows-only
+@register("gap_fill_cubic", fill_gaps_cubic_sql(_RASTER_CTE))
 def q_gap_fill_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tile CUBIC gap fill (reference griddata(method='cubic')
     analog): separable Catmull–Rom through the four nearest anchors,
@@ -2324,12 +2348,14 @@ def q_gap_fill_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return R.raster_df(spark).select(
-        "tilecode",
-        F.col("gx").cast("long").alias("gx"),
-        F.col("gy").cast("long").alias("gy"),
-        "building_z",
-    ).groupBy("tilecode").applyInPandas(per_tile, schema=FILLED_SCHEMA)
+    return _fill_r6(
+        R.raster_df(spark).select(
+            "tilecode",
+            F.col("gx").cast("long").alias("gx"),
+            F.col("gy").cast("long").alias("gy"),
+            "building_z",
+        ).groupBy("tilecode").applyInPandas(per_tile, schema=FILLED_SCHEMA)
+    )
 
 
 # ----------------------------------------------------------------------

@@ -92,3 +92,23 @@ def building_z_sql(gx: str, gy: str) -> str:
         f"(CASE WHEN (({gx} * 7 + {gy} * 13) % 10) < 3 "
         f"THEN {ground_z_sql(gx, gy)} + 9.0 ELSE NULL END)"
     )
+
+
+def raster_cte_sql(res: float = DEFAULT_RES) -> str:
+    """CTE body reproducing raster_df() exactly in DuckDB:
+    (gx, gy, tilecode, building_z) for the fixture window."""
+    gx0, gx1 = int(X_LO // res), int(X_HI // res)
+    gy0, gy1 = int(Y_LO // res), int(Y_HI // res)
+    nx = gx1 - gx0
+    ny = gy1 - gy0
+    gx, gy = f"({gx0} + (i % {nx}))", f"({gy0} + (i // {nx}))"
+    tc = (
+        f"CAST(CAST(floor({gx} * {res} / {TILE}) AS BIGINT) AS VARCHAR)"
+        f" || '_' || "
+        f"CAST(CAST(floor({gy} * {res} / {TILE}) AS BIGINT) AS VARCHAR)"
+    )
+    return (
+        f"SELECT {gx} AS gx, {gy} AS gy, {tc} AS tilecode, "
+        f"{building_z_sql(gx, gy)} AS building_z "
+        f"FROM range(0, {nx * ny}) t(i)"
+    )
