@@ -106,3 +106,42 @@ def test_catenary_fit_recovers_deep_sag_where_parabola_fails():
         xy[left], z[left], xy[right], z[right],
         max_angle_deg=15.0, max_gap=10.0, max_rmse=0.5,
     )
+
+
+def _rows(pdf: pd.DataFrame) -> list[tuple]:
+    return [
+        (int(c), int(round(x * 1000)), int(round(y * 1000)),
+         int(round(z * 1000)))
+        for c, x, y, z in zip(pdf["cluster_id"], pdf["x"], pdf["y"], pdf["z"])
+    ]
+
+
+def test_pairwise_cc_variant_matches_gate_semantics():
+    """The order-independent variant (merge_clusters_pairwise_cc, the
+    oracle-exact registered path) merges collinear smooth spans, keeps
+    perpendicular neighbors apart, and rejects rough (non-curve) z."""
+    from urban_pointcloud_processing_spark.operators.cable_merge import (
+        merge_clusters_pairwise_cc,
+    )
+
+    xs = np.linspace(0.0, 40.0, 40)
+    z = 10.0 - 0.2 * (1 - ((xs - 20.0) / 20.0) ** 2)
+    both = pd.DataFrame({
+        "cluster_id": np.where(xs < 20.0, 1, 2), "x": xs, "y": 5.0, "z": z,
+    })
+    assert merge_clusters_pairwise_cc(_rows(both)) == {1: 1, 2: 1}
+    # perpendicular neighbor stays separate (angle gate)
+    perp = pd.DataFrame({
+        "cluster_id": 3, "x": 21.0,
+        "y": np.linspace(0.0, 20.0, 20), "z": 10.0,
+    })
+    m = merge_clusters_pairwise_cc(_rows(pd.concat([both, perp])))
+    assert m[3] == 3 and m[1] == m[2] == 1
+    # aligned + close but jagged z: curve gate rejects
+    rough = both.copy()
+    rng = np.random.default_rng(7)
+    rough.loc[rough.cluster_id == 2, "z"] += rng.uniform(
+        -3, 3, (rough.cluster_id == 2).sum()
+    )
+    m2 = merge_clusters_pairwise_cc(_rows(rough))
+    assert m2[1] == 1 and m2[2] == 2

@@ -207,3 +207,193 @@ def merge_cables(
         clustered = clustered.withColumn("_g", F.lit(0))
         group_col = "_g"
     return clustered.groupBy(group_col).applyInPandas(per_group, schema=schema)
+
+
+# ----------------------------------------------------------------------
+# Order-independent merge variant (oracle-exact).
+#
+# The reference's _cable_merging (cable_fuser.py:333-389) is a
+# sequential fixpoint: merge a pair, refit the union, continue. Like
+# the DBSCAN operator (operators/dbscan.py), the engine also ships an
+# ORDER-INDEPENDENT variant whose result is a pure function of the
+# input: merged_id = connected components over the PAIRWISE-mergeable
+# graph of the original clusters. The pair gate keeps the reference's
+# three conditions — principal-direction angle (:247-273), nearest-
+# endpoint gap (:317-331), and a hanging-curve residual (:275-315, the
+# small-sag quadratic analog of the catenary fit) — each evaluated with
+# exact-integer moments + one fixed double-op formula, so a DuckDB
+# recursive-CTE oracle reproduces it bit-for-bit. The sequential
+# catenary fixpoint (merge_cables above) remains the API-parity path.
+# ----------------------------------------------------------------------
+
+MERGE_MAX_ANGLE_DEG = 15.0
+MERGE_MAX_GAP_MM2 = int(10.0 * 1000) ** 2     # max_gap = 10 m, in mm²
+MERGE_MAX_RMSE_MM = 500.0                     # max_rmse = 0.5 m
+TQ_DIV = 1_000_000  # projection quantum: exact-int t divided down so
+                    # Σt⁴ stays within HUGEINT/python-int sums
+
+
+def _cos2(deg: float) -> float:
+    import math
+
+    return math.cos(math.radians(deg)) ** 2
+
+
+def _cluster_geom(pts: list[tuple[int, int, int]]):
+    """(v, emin, emax) for one cluster's mm-integer points: principal
+    direction v (doubles via the closed-form 2×2 eigenvector
+    (cxy, λmax − cxx)), endpoints = lexicographic (t, x, y) extremes."""
+    import math
+
+    n = len(pts)
+    x0 = min(p[0] for p in pts)
+    y0 = min(p[1] for p in pts)
+    sx = sum(p[0] - x0 for p in pts)
+    sy = sum(p[1] - y0 for p in pts)
+    sxx = sum((p[0] - x0) * (p[0] - x0) for p in pts)
+    syy = sum((p[1] - y0) * (p[1] - y0) for p in pts)
+    sxy = sum((p[0] - x0) * (p[1] - y0) for p in pts)
+    cxx = float(n * sxx - sx * sx)
+    cyy = float(n * syy - sy * sy)
+    cxy = float(n * sxy - sx * sy)
+    if cxy == 0.0:
+        v = (1.0, 0.0) if cxx >= cyy else (0.0, 1.0)
+    else:
+        lam = ((cxx + cyy) + math.sqrt(
+            (cxx - cyy) * (cxx - cyy) + 4.0 * cxy * cxy)) / 2.0
+        v = (cxy, lam - cxx)
+    keyed = sorted(
+        (v[0] * (p[0] - x0) + v[1] * (p[1] - y0), p[0], p[1]) for p in pts
+    )
+    emin = (keyed[0][1], keyed[0][2])
+    emax = (keyed[-1][1], keyed[-1][2])
+    return v, emin, emax
+
+
+def _pair_curve_ok(pts: list[tuple[int, int, int]]) -> bool:
+    """Small-sag quadratic residual gate over the combined pair points:
+    exact-integer diameter direction + quantized projection, exact
+    integer moment sums, one fixed Cramer solve in doubles."""
+    n = len(pts)
+    if n < 3:
+        return True
+    # canonical diameter pair: max d², tie-break lexicographic minimal
+    best = None
+    spts = sorted(pts)
+    for i in range(n):
+        for j in range(i + 1, n):
+            p, q = spts[i], spts[j]
+            d2 = (q[0] - p[0]) ** 2 + (q[1] - p[1]) ** 2
+            key = (-d2, p[0], p[1], q[0], q[1])
+            if best is None or key < best[0]:
+                best = (key, p, q)
+    _, p, q = best
+    dx, dy = q[0] - p[0], q[1] - p[1]
+    if dx < 0 or (dx == 0 and dy < 0):
+        dx, dy = -dx, -dy
+    t = [(pt[0] - p[0]) * dx + (pt[1] - p[1]) * dy for pt in pts]
+    tmin = min(t)
+    tq = [(ti - tmin) // TQ_DIV for ti in t]
+    if min(tq) == max(tq):
+        return True
+    z = [pt[2] for pt in pts]
+    s0 = n
+    s1 = sum(tq)
+    s2 = sum(v * v for v in tq)
+    s3 = sum(v * v * v for v in tq)
+    s4 = sum(v * v * v * v for v in tq)
+    sz = sum(z)
+    stz = sum(v * w for v, w in zip(tq, z))
+    st2z = sum(v * v * w for v, w in zip(tq, z))
+    szz = sum(w * w for w in z)
+    S0, S1, S2, S3, S4 = float(s0), float(s1), float(s2), float(s3), float(s4)
+    SZ, STZ, ST2Z, SZZ = float(sz), float(stz), float(st2z), float(szz)
+    det = (S4 * (S2 * S0 - S1 * S1) - S3 * (S3 * S0 - S1 * S2)
+           + S2 * (S3 * S1 - S2 * S2))
+    if det == 0.0:
+        return True
+    c = (ST2Z * (S2 * S0 - S1 * S1) - S3 * (STZ * S0 - S1 * SZ)
+         + S2 * (STZ * S1 - S2 * SZ)) / det
+    b = (S4 * (STZ * S0 - S1 * SZ) - ST2Z * (S3 * S0 - S1 * S2)
+         + S2 * (S3 * SZ - STZ * S2)) / det
+    a = (S4 * (S2 * SZ - STZ * S1) - S3 * (S3 * SZ - STZ * S2)
+         + ST2Z * (S3 * S1 - S2 * S2)) / det
+    sse = SZZ - (c * ST2Z + b * STZ + a * SZ)
+    return sse <= MERGE_MAX_RMSE_MM * MERGE_MAX_RMSE_MM * S0
+
+
+def merge_clusters_pairwise_cc(
+    rows: list[tuple[int, int, int, int]],
+    max_angle_deg: float = MERGE_MAX_ANGLE_DEG,
+    max_gap_mm2: int = MERGE_MAX_GAP_MM2,
+) -> dict[int, int]:
+    """cluster_id → merged_id (min id of the CC over mergeable pairs).
+    ``rows`` = (cluster_id, x_mm, y_mm, z_mm)."""
+    cos2 = _cos2(max_angle_deg)
+    clusters: dict[int, list[tuple[int, int, int]]] = {}
+    for cid, xm, ym, zm in rows:
+        clusters.setdefault(int(cid), []).append((int(xm), int(ym), int(zm)))
+    geom = {cid: _cluster_geom(pts) for cid, pts in clusters.items()}
+    parent = {cid: cid for cid in clusters}
+
+    def find(c):
+        while parent[c] != c:
+            parent[c] = parent[parent[c]]
+            c = parent[c]
+        return c
+
+    ids = sorted(clusters)
+    for i, ca in enumerate(ids):
+        va, amin, amax = geom[ca]
+        for cb in ids[i + 1:]:
+            vb, bmin, bmax = geom[cb]
+            dot = va[0] * vb[0] + va[1] * vb[1]
+            na2 = va[0] * va[0] + va[1] * va[1]
+            nb2 = vb[0] * vb[0] + vb[1] * vb[1]
+            if not dot * dot >= cos2 * (na2 * nb2):
+                continue
+            gap2 = min(
+                (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2
+                for p in (amin, amax) for q in (bmin, bmax)
+            )
+            if gap2 > max_gap_mm2:
+                continue
+            if not _pair_curve_ok(clusters[ca] + clusters[cb]):
+                continue
+            ra, rb = find(ca), find(cb)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    return {cid: find(cid) for cid in clusters}
+
+
+def merge_cables_cc(clustered: DataFrame,
+                    cluster_col: str = "cluster_id",
+                    max_gap: float = 10.0) -> DataFrame:
+    """(cluster_id, merged_id) via the order-independent pairwise-CC
+    variant — single grouped-map (clusters per tile are few)."""
+    schema = StructType(
+        [
+            StructField("cluster_id", LongType()),
+            StructField("merged_id", LongType()),
+        ]
+    )
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = [
+            (int(c), int(round(x * 1000.0)), int(round(y * 1000.0)),
+             int(round(z * 1000.0)))
+            for c, x, y, z in zip(pdf[cluster_col], pdf["x"], pdf["y"],
+                                  pdf["z"])
+        ]
+        mapping = merge_clusters_pairwise_cc(
+            rows, max_gap_mm2=int(round(max_gap * 1000.0)) ** 2
+        )
+        return pd.DataFrame(
+            {"cluster_id": list(mapping), "merged_id": list(mapping.values())}
+        )
+
+    return (
+        clustered.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(per_group, schema=schema)
+    )

@@ -1313,22 +1313,13 @@ def q_cable_grow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matched.select("page_id", "cable_id", "dist_sq")
 
 
-@register("cable_merge")  # fixpoint grouped-map merge: rows-only check
-def q_cable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cable-cluster merging (reference _cable_merging,
-    cable_fuser.py:333-389): high-linearity cells become clusters;
-    pairs with aligned directions, close endpoints and a passing
-    small-sag (parabola) fit merge to fixpoint. Semantics validated on
-    constructed cables in tests/test_cable_merge.py. Single group at
-    test scale; group per tile at production scale."""
-    from .operators.cable_merge import merge_cables
-
+def _cable_members_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_from_orders(spark, sf_dir)
     feats = pca_cell_features(pages, 5.0, 3)
     cables = feats.filter(
         (F.col("linearity") > 0.9) & (F.col("n_points") >= 4)
     ).select("cell_x", "cell_y")
-    members = (
+    return (
         pages.withColumns(
             {
                 "cell_x": F.floor(F.col("x") / 5.0).cast("long"),
@@ -1343,7 +1334,211 @@ def q_cable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x", "y", "z",
         )
     )
-    return merge_cables(members, group_col=None)
+
+
+_CM_MAX_GAP = 50.0  # fixture-scaled: detected cable cells sit one
+# 5 m-cell row apart per ~50 m (sparse pages), vs the reference's
+# LiDAR-density max_gap; semantics identical, threshold scaled like
+# every other fixture parameter (see _POLE).
+
+
+def _cable_merge_cc_sql() -> str:
+    """Recursive-CTE oracle for the order-independent merge: exact
+    integer moments → closed-form principal directions → angle/gap/
+    small-sag gates (fixed double formulas mirroring
+    operators/cable_merge.merge_clusters_pairwise_cc) → CC reach."""
+    from .operators.cable_merge import (
+        MERGE_MAX_GAP_MM2,
+        MERGE_MAX_RMSE_MM,
+        TQ_DIV,
+        _cos2,
+    )
+
+    cos2 = repr(_cos2(15.0))
+    rmse2 = repr(MERGE_MAX_RMSE_MM * MERGE_MAX_RMSE_MM)
+    gap_mm2 = int(round(_CM_MAX_GAP * 1000.0)) ** 2
+    d = lambda c: f"CAST({c} AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH RECURSIVE
+feats AS MATERIALIZED ({pca_cell_features_sql(PAGES_CTE, 5.0, 3).strip()}),
+cm_pts AS MATERIALIZED ({PAGES_CTE}),
+cm_members AS MATERIALIZED (
+  SELECT c.cell_x * 100000 + c.cell_y AS cluster_id,
+         CAST(round(p.x * 1000.0) AS BIGINT) AS x_mm,
+         CAST(round(p.y * 1000.0) AS BIGINT) AS y_mm,
+         CAST(round(p.z * 1000.0) AS BIGINT) AS z_mm
+  FROM cm_pts p
+  JOIN (SELECT cell_x, cell_y FROM feats
+        WHERE linearity > 0.9 AND n_points >= 4) c
+    ON CAST(floor(p.x / 5.0) AS BIGINT) = c.cell_x
+   AND CAST(floor(p.y / 5.0) AS BIGINT) = c.cell_y
+),
+cm_mins AS (
+  SELECT cluster_id, MIN(x_mm) AS x0, MIN(y_mm) AS y0
+  FROM cm_members GROUP BY cluster_id
+),
+cm_moms AS (
+  SELECT m.cluster_id, COUNT(*) AS n,
+         SUM(m.x_mm - i.x0) AS sx, SUM(m.y_mm - i.y0) AS sy,
+         SUM((m.x_mm - i.x0) * (m.x_mm - i.x0)) AS sxx,
+         SUM((m.y_mm - i.y0) * (m.y_mm - i.y0)) AS syy,
+         SUM((m.x_mm - i.x0) * (m.y_mm - i.y0)) AS sxy
+  FROM cm_members m JOIN cm_mins i ON i.cluster_id = m.cluster_id
+  GROUP BY m.cluster_id
+),
+cm_cov AS (
+  SELECT cluster_id,
+         {d('n * sxx - sx * sx')} AS cxx,
+         {d('n * syy - sy * sy')} AS cyy,
+         {d('n * sxy - sx * sy')} AS cxy
+  FROM cm_moms
+),
+cm_dir AS (
+  SELECT cluster_id,
+         CASE WHEN cxy = 0.0
+              THEN CASE WHEN cxx >= cyy THEN 1.0 ELSE 0.0 END
+              ELSE cxy END AS vx,
+         CASE WHEN cxy = 0.0
+              THEN CASE WHEN cxx >= cyy THEN 0.0 ELSE 1.0 END
+              ELSE ((cxx + cyy) + sqrt((cxx - cyy) * (cxx - cyy)
+                                       + 4.0 * cxy * cxy)) / 2.0 - cxx
+         END AS vy
+  FROM cm_cov
+),
+cm_t AS (
+  SELECT m.cluster_id, m.x_mm, m.y_mm,
+         dd.vx * (m.x_mm - i.x0) + dd.vy * (m.y_mm - i.y0) AS t
+  FROM cm_members m
+  JOIN cm_mins i ON i.cluster_id = m.cluster_id
+  JOIN cm_dir dd ON dd.cluster_id = m.cluster_id
+),
+cm_ends AS (
+  SELECT cluster_id, x_mm, y_mm FROM (
+    SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                 ORDER BY t, x_mm, y_mm) AS rn
+    FROM cm_t) WHERE rn = 1
+  UNION ALL
+  SELECT cluster_id, x_mm, y_mm FROM (
+    SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                 ORDER BY t DESC, x_mm DESC, y_mm DESC) AS rn
+    FROM cm_t) WHERE rn = 1
+),
+cm_pairs AS (
+  SELECT a.cluster_id AS ca, b.cluster_id AS cb
+  FROM cm_dir a JOIN cm_dir b ON a.cluster_id < b.cluster_id
+  WHERE (a.vx * b.vx + a.vy * b.vy) * (a.vx * b.vx + a.vy * b.vy)
+        >= {cos2} * ((a.vx * a.vx + a.vy * a.vy)
+                     * (b.vx * b.vx + b.vy * b.vy))
+),
+cm_gapok AS (
+  SELECT p.ca, p.cb
+  FROM cm_pairs p
+  JOIN cm_ends ea ON ea.cluster_id = p.ca
+  JOIN cm_ends eb ON eb.cluster_id = p.cb
+  GROUP BY p.ca, p.cb
+  HAVING MIN((ea.x_mm - eb.x_mm) * (ea.x_mm - eb.x_mm)
+           + (ea.y_mm - eb.y_mm) * (ea.y_mm - eb.y_mm))
+         <= {gap_mm2}
+),
+cm_ppts AS MATERIALIZED (
+  SELECT g.ca, g.cb, m.x_mm, m.y_mm, m.z_mm
+  FROM cm_gapok g
+  JOIN cm_members m ON m.cluster_id = g.ca OR m.cluster_id = g.cb
+),
+cm_diam AS (
+  SELECT ca, cb, px, py, qx, qy,
+         CASE WHEN (qx - px) < 0 OR ((qx - px) = 0 AND (qy - py) < 0)
+              THEN -(qx - px) ELSE (qx - px) END AS dx,
+         CASE WHEN (qx - px) < 0 OR ((qx - px) = 0 AND (qy - py) < 0)
+              THEN -(qy - py) ELSE (qy - py) END AS dy
+  FROM (
+    SELECT a.ca, a.cb, a.x_mm AS px, a.y_mm AS py,
+           b.x_mm AS qx, b.y_mm AS qy,
+           row_number() OVER (
+             PARTITION BY a.ca, a.cb
+             ORDER BY (b.x_mm - a.x_mm) * (b.x_mm - a.x_mm)
+                    + (b.y_mm - a.y_mm) * (b.y_mm - a.y_mm) DESC,
+                    a.x_mm, a.y_mm, b.x_mm, b.y_mm) AS rn
+    FROM cm_ppts a JOIN cm_ppts b
+      ON a.ca = b.ca AND a.cb = b.cb
+     AND (a.x_mm, a.y_mm, a.z_mm) < (b.x_mm, b.y_mm, b.z_mm)
+  ) WHERE rn = 1
+),
+cm_tq0 AS (
+  SELECT m.ca, m.cb,
+         (m.x_mm - dm.px) * dm.dx + (m.y_mm - dm.py) * dm.dy AS t,
+         m.z_mm
+  FROM cm_ppts m JOIN cm_diam dm ON dm.ca = m.ca AND dm.cb = m.cb
+),
+cm_tmin AS (SELECT ca, cb, MIN(t) AS tmin FROM cm_tq0 GROUP BY ca, cb),
+cm_tq AS (
+  SELECT q.ca, q.cb, (q.t - i.tmin) // {TQ_DIV} AS tq, q.z_mm
+  FROM cm_tq0 q JOIN cm_tmin i ON i.ca = q.ca AND i.cb = q.cb
+),
+cm_sums AS (
+  SELECT ca, cb, COUNT(*) AS n, MIN(tq) AS tqmin, MAX(tq) AS tqmax,
+         SUM(tq) AS s1, SUM(tq * tq) AS s2, SUM(tq * tq * tq) AS s3,
+         SUM(tq * tq * tq * tq) AS s4,
+         SUM(z_mm) AS sz, SUM(tq * z_mm) AS stz,
+         SUM(tq * tq * z_mm) AS st2z, SUM(z_mm * z_mm) AS szz
+  FROM cm_tq GROUP BY ca, cb
+),
+cm_fit AS (
+  SELECT ca, cb, n, tqmin, tqmax,
+         {d('s0')} AS f0, {d('s1')} AS f1, {d('s2')} AS f2,
+         {d('s3')} AS f3, {d('s4')} AS f4,
+         {d('sz')} AS fz, {d('stz')} AS ftz, {d('st2z')} AS ft2z,
+         {d('szz')} AS fzz
+  FROM (SELECT *, n AS s0 FROM cm_sums)
+),
+cm_curve AS (
+  SELECT ca, cb FROM (
+    SELECT ca, cb, n, tqmin, tqmax, f0, fz, ftz, ft2z, fzz,
+           f4 * (f2 * f0 - f1 * f1) - f3 * (f3 * f0 - f1 * f2)
+             + f2 * (f3 * f1 - f2 * f2) AS det,
+           f1, f2, f3, f4
+    FROM cm_fit
+  )
+  WHERE n < 3 OR tqmin = tqmax OR det = 0.0
+     OR (fzz - (((ft2z * (f2 * f0 - f1 * f1) - f3 * (ftz * f0 - f1 * fz)
+                  + f2 * (ftz * f1 - f2 * fz)) / det) * ft2z
+                + ((f4 * (ftz * f0 - f1 * fz) - ft2z * (f3 * f0 - f1 * f2)
+                    + f2 * (f3 * fz - ftz * f2)) / det) * ftz
+                + ((f4 * (f2 * fz - ftz * f1) - f3 * (f3 * fz - ftz * f2)
+                    + ft2z * (f3 * f1 - f2 * f2)) / det) * fz))
+        <= {rmse2} * f0
+),
+cm_edges AS (
+  SELECT ca AS src, cb AS dst FROM cm_curve
+  UNION ALL
+  SELECT cb AS src, ca AS dst FROM cm_curve
+),
+cm_nodes AS (SELECT DISTINCT cluster_id FROM cm_members),
+cm_reach(src, node) AS (
+  SELECT cluster_id, cluster_id FROM cm_nodes
+  UNION
+  SELECT r.src, e.dst FROM cm_reach r JOIN cm_edges e ON e.src = r.node
+)
+SELECT src AS cluster_id, MIN(node) AS merged_id
+FROM cm_reach GROUP BY src
+"""
+
+
+@register("cable_merge", _cable_merge_cc_sql())
+def q_cable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cable-cluster merging (reference _cable_merging,
+    cable_fuser.py:333-389): high-linearity cells become clusters;
+    pairs with aligned principal directions, close endpoints and a
+    passing hanging-curve residual merge. Registered as the
+    ORDER-INDEPENDENT variant (CC over the pairwise-mergeable graph,
+    operators/cable_merge.merge_clusters_pairwise_cc) with a
+    recursive-CTE oracle; the reference's sequential catenary fixpoint
+    (merge_cables) remains the API path, validated on constructed
+    cables in tests/test_cable_merge.py."""
+    from .operators.cable_merge import merge_cables_cc
+
+    return merge_cables_cc(_cable_members_df(spark, sf_dir),
+                           max_gap=_CM_MAX_GAP)
 
 
 def _seg_d2_sql(px: str, py: str) -> str:
