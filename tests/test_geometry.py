@@ -110,3 +110,33 @@ def test_mbr_road_overlap_grouped_map(spark):
     assert got[0]["mbr_area"] == pytest.approx(8.0)
     assert got[0]["road_area"] == pytest.approx(4.0)
     assert got[0]["road_pct"] == pytest.approx(50.0)
+
+
+def test_mbr_exact_matches_calipers_area():
+    """The oracle-exact pair-search MBR finds the same minimal rectangle
+    as the rotating-calipers implementation (areas/dims equal up to
+    float tolerance) on assorted shapes."""
+    import numpy as np
+
+    from urban_pointcloud_processing_spark.operators.geometry import (
+        _mbr,
+        mbr_exact_rows,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        n = int(rng.integers(3, 15))
+        pts = rng.integers(-5000, 5000, size=(n, 2))
+        area_e, lsq, wsq, cx, cy = mbr_exact_rows(
+            [tuple(map(int, p)) for p in pts]
+        )
+        length, width, _ang, ccx, ccy = _mbr(pts.astype(float) / 1000.0)
+        # both searches find the same MINIMAL area; when several
+        # rectangles tie on it the chosen dims/center may differ
+        assert abs(area_e - length * width) < 1e-6
+        assert abs(lsq * wsq - area_e * area_e) < 1e-6
+        # center of any minimal rectangle lies inside the point bbox
+        lo = pts.min(axis=0) / 1000.0
+        hi = pts.max(axis=0) / 1000.0
+        assert lo[0] - 1e-9 <= cx <= hi[0] + 1e-9
+        assert lo[1] - 1e-9 <= cy <= hi[1] + 1e-9

@@ -286,3 +286,99 @@ def cluster_mbr(with_comp: DataFrame, comp_col: str = "component") -> DataFrame:
         )
 
     return with_comp.groupBy(comp_col).applyInPandas(per_comp, schema=MBR_SCHEMA)
+
+
+# ----------------------------------------------------------------------
+# Oracle-exact MBR variant (VERDICT r02 item 4).
+#
+# The rotating-calipers ``cluster_mbr`` above uses libm trig
+# (atan2/cos/sin), which is not cross-engine reproducible. This variant
+# searches candidate DIRECTIONS = all distinct point pairs of the
+# cluster (the optimal rectangle is edge-aligned with the convex hull,
+# and every hull edge is a point pair, so the optimum is in the
+# candidate set): for each direction e the rectangle extents are exact
+# integer ranges of the dot/cross products of the mm coordinates, and
+# area/length²/width²/center are ONE fixed double formula over those
+# exact integers — so a SQL oracle reproduces every bit, including the
+# argmin tie-break (area, then lexicographic pair). Angle is
+# deliberately not in the compared output (libm).
+# ----------------------------------------------------------------------
+
+MBR_EXACT_SCHEMA = StructType(
+    [
+        StructField("component", LongType()),
+        StructField("n_points", LongType()),
+        StructField("mbr_area", DoubleType()),
+        StructField("mbr_len_sq", DoubleType()),
+        StructField("mbr_wid_sq", DoubleType()),
+        StructField("center_x", DoubleType()),
+        StructField("center_y", DoubleType()),
+    ]
+)
+
+
+def mbr_exact_rows(pts_mm: list[tuple[int, int]]) -> tuple:
+    """(area, len_sq, wid_sq, center_x, center_y) in m²/m from exact
+    mm-integer points — the fixed-formula pair search."""
+    uniq = sorted(set(pts_mm))
+    x0 = min(p[0] for p in uniq)
+    y0 = min(p[1] for p in uniq)
+    q = [(p[0] - x0, p[1] - y0) for p in uniq]
+    if len(q) == 1:
+        return (0.0, 0.0, 0.0, x0 / 1000.0, y0 / 1000.0)
+    best = None
+    for i in range(len(q)):
+        for j in range(i + 1, len(q)):
+            p1, p2 = q[i], q[j]
+            ex, ey = p2[0] - p1[0], p2[1] - p1[1]
+            e2 = ex * ex + ey * ey
+            if e2 == 0:
+                continue
+            dots = [u[0] * ex + u[1] * ey for u in q]
+            crss = [u[0] * ey - u[1] * ex for u in q]
+            adot = max(dots) - min(dots)
+            acrs = max(crss) - min(crss)
+            e2d = float(e2)
+            area = float(adot) * float(acrs) / e2d
+            key = (area, p1[0], p1[1], p2[0], p2[1])
+            if best is None or key < best[0]:
+                sd = min(dots) + max(dots)
+                sc = min(crss) + max(crss)
+                la = (float(adot) * float(adot)) / e2d
+                lb = (float(acrs) * float(acrs)) / e2d
+                cx = (float(x0) + float(sd * ex + sc * ey) / float(2 * e2)) / 1000.0
+                cy = (float(y0) + float(sd * ey - sc * ex) / float(2 * e2)) / 1000.0
+                best = (key, area / 1e6, max(la, lb) / 1e6,
+                        min(la, lb) / 1e6, cx, cy)
+    if best is None:  # all points identical coordinates
+        return (0.0, 0.0, 0.0, x0 / 1000.0, y0 / 1000.0)
+    return best[1:]
+
+
+def cluster_mbr_exact(with_comp: DataFrame,
+                      comp_col: str = "component") -> DataFrame:
+    """Per-component exact-pair MBR (grouped map; components are tile-
+    bounded). Input needs (component, x, y)."""
+    import pandas as pd
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pts = [
+            (int(round(x * 1000.0)), int(round(y * 1000.0)))
+            for x, y in zip(pdf["x"], pdf["y"])
+        ]
+        area, lsq, wsq, cx, cy = mbr_exact_rows(pts)
+        return pd.DataFrame(
+            {
+                "component": [int(pdf[comp_col].iloc[0])],
+                "n_points": [len(pdf)],
+                "mbr_area": [area],
+                "mbr_len_sq": [lsq],
+                "mbr_wid_sq": [wsq],
+                "center_x": [cx],
+                "center_y": [cy],
+            }
+        )
+
+    return with_comp.groupBy(comp_col).applyInPandas(
+        per_cluster, schema=MBR_EXACT_SCHEMA
+    )

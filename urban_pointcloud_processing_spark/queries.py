@@ -2412,23 +2412,169 @@ def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_stats(_ground_with_comp(spark, sf_dir))
 
 
-@register("cluster_morphology")  # grouped-map NumPy: rows-only check
+@register(
+    "cluster_morphology",
+    f"""
+WITH RECURSIVE {_CC_BASE},
+{_CLUSTER_ASSIGN_CTE},
+mo_occ AS (
+  SELECT DISTINCT component, CAST(floor(x) AS BIGINT) AS cx,
+         CAST(floor(y) AS BIGINT) AS cy
+  FROM assign
+),
+mo_dil AS (
+  SELECT DISTINCT component, cx + dx.d AS cx, cy + dy.d AS cy
+  FROM mo_occ
+  CROSS JOIN (VALUES (-1), (0), (1)) AS dx(d)
+  CROSS JOIN (VALUES (-1), (0), (1)) AS dy(d)
+),
+mo_closed AS (
+  -- erosion of the dilated set: a cell survives iff all 9 of its
+  -- 3x3 neighbors are dilated (the pad margin in the engine grid
+  -- guarantees border behavior cannot differ)
+  SELECT a.component, a.cx, a.cy
+  FROM mo_dil a JOIN mo_dil b
+    ON a.component = b.component
+   AND abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+  GROUP BY a.component, a.cx, a.cy
+  HAVING COUNT(*) = 9
+),
+mo_cells AS (
+  SELECT component, cx, cy, cx * 2147483648 + cy AS cell FROM mo_closed
+),
+mo_adj AS (
+  SELECT a.component, a.cell AS src, b.cell AS dst
+  FROM mo_cells a JOIN mo_cells b
+    ON a.component = b.component
+   AND abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+),
+mo_reach(component, src, node) AS (
+  SELECT component, cell, cell FROM mo_cells
+  UNION
+  SELECT r.component, r.src, e.dst
+  FROM mo_reach r JOIN mo_adj e
+    ON e.component = r.component AND e.src = r.node
+),
+mo_region AS (
+  SELECT component, src AS cell, MIN(node) AS rid
+  FROM mo_reach GROUP BY component, src
+),
+mo_stats AS (
+  SELECT c.component, g.rid, COUNT(*) AS n_voxels,
+         MIN(c.cx) AS cx_min, MAX(c.cx) AS cx_max,
+         MIN(c.cy) AS cy_min, MAX(c.cy) AS cy_max,
+         MIN(c.cell) AS first_key
+  FROM mo_cells c JOIN mo_region g
+    ON g.component = c.component AND g.cell = c.cell
+  GROUP BY c.component, g.rid
+)
+SELECT component,
+       CAST(row_number() OVER (PARTITION BY component ORDER BY first_key)
+            AS INTEGER) AS region,
+       n_voxels,
+       (cx_max - cx_min + 1) * 1.0 AS width_x,
+       (cy_max - cy_min + 1) * 1.0 AS width_y
+FROM mo_stats
+""",
+)
 def q_cluster_morphology(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Voxel morphology per ground component (reference armatuur search,
     cable_fuser.py:576-673): occupancy close (dilate+erode) → region
     labelling → per-region voxel counts/extents. Pure-NumPy kernels
-    validated in tests/test_morphology.py."""
+    validated in tests/test_morphology.py; SQL oracle: set-algebra
+    closing (9-neighbor count) + recursive-CTE region CC, region ids by
+    scan-order first encounter (= min packed cell key)."""
     from .operators.morphology import cluster_morphology
 
     return cluster_morphology(_ground_with_comp(spark, sf_dir), voxel=1.0)
 
 
-@register("cluster_mbr")  # grouped-map MBR: no SQL oracle (rows-only)
+_MBR_AREA = (
+    "CAST(dmax - dmin AS DOUBLE) * CAST(cmax - cmin AS DOUBLE)"
+    " / CAST(ex * ex + ey * ey AS DOUBLE)"
+)
+
+
+@register(
+    "cluster_mbr",
+    f"""
+WITH RECURSIVE {_CC_BASE},
+{_CLUSTER_ASSIGN_CTE},
+mb_pts AS (
+  SELECT DISTINCT component,
+         CAST(round(x * 1000.0) AS BIGINT) AS xm,
+         CAST(round(y * 1000.0) AS BIGINT) AS ym
+  FROM assign
+),
+mb_n AS (SELECT component, COUNT(*) AS n_points FROM assign GROUP BY component),
+mb_min AS (
+  SELECT component, MIN(xm) AS x0, MIN(ym) AS y0
+  FROM mb_pts GROUP BY component
+),
+mb_q AS (
+  SELECT p.component, p.xm - m.x0 AS qx, p.ym - m.y0 AS qy
+  FROM mb_pts p JOIN mb_min m ON m.component = p.component
+),
+mb_rng AS (
+  SELECT c.component, c.px, c.py, c.qx2, c.qy2, c.ex, c.ey,
+         MAX(u.qx * c.ex + u.qy * c.ey) AS dmax,
+         MIN(u.qx * c.ex + u.qy * c.ey) AS dmin,
+         MAX(u.qx * c.ey - u.qy * c.ex) AS cmax,
+         MIN(u.qx * c.ey - u.qy * c.ex) AS cmin
+  FROM (
+    SELECT a.component, a.qx AS px, a.qy AS py, b.qx AS qx2, b.qy AS qy2,
+           b.qx - a.qx AS ex, b.qy - a.qy AS ey
+    FROM mb_q a JOIN mb_q b
+      ON a.component = b.component AND (a.qx, a.qy) < (b.qx, b.qy)
+  ) c JOIN mb_q u ON u.component = c.component
+  GROUP BY c.component, c.px, c.py, c.qx2, c.qy2, c.ex, c.ey
+),
+mb_best AS (
+  SELECT * FROM (
+    SELECT r.*, row_number() OVER (
+             PARTITION BY component
+             ORDER BY {_MBR_AREA}, px, py, qx2, qy2) AS rn
+    FROM mb_rng r
+  ) WHERE rn = 1
+)
+SELECT n.component, n.n_points,
+       COALESCE(({_MBR_AREA}) / 1e6, 0.0) AS mbr_area,
+       COALESCE(GREATEST(
+         CAST(dmax - dmin AS DOUBLE) * CAST(dmax - dmin AS DOUBLE)
+           / CAST(ex * ex + ey * ey AS DOUBLE),
+         CAST(cmax - cmin AS DOUBLE) * CAST(cmax - cmin AS DOUBLE)
+           / CAST(ex * ex + ey * ey AS DOUBLE)) / 1e6, 0.0) AS mbr_len_sq,
+       COALESCE(LEAST(
+         CAST(dmax - dmin AS DOUBLE) * CAST(dmax - dmin AS DOUBLE)
+           / CAST(ex * ex + ey * ey AS DOUBLE),
+         CAST(cmax - cmin AS DOUBLE) * CAST(cmax - cmin AS DOUBLE)
+           / CAST(ex * ex + ey * ey AS DOUBLE)) / 1e6, 0.0) AS mbr_wid_sq,
+       CASE WHEN b.component IS NULL THEN CAST(m.x0 AS DOUBLE) / 1000.0
+            ELSE (CAST(m.x0 AS DOUBLE)
+                  + CAST((dmin + dmax) * ex + (cmin + cmax) * ey AS DOUBLE)
+                    / CAST(2 * (ex * ex + ey * ey) AS DOUBLE)) / 1000.0
+       END AS center_x,
+       CASE WHEN b.component IS NULL THEN CAST(m.y0 AS DOUBLE) / 1000.0
+            ELSE (CAST(m.y0 AS DOUBLE)
+                  + CAST((dmin + dmax) * ey - (cmin + cmax) * ex AS DOUBLE)
+                    / CAST(2 * (ex * ex + ey * ey) AS DOUBLE)) / 1000.0
+       END AS center_y
+FROM mb_n n
+JOIN mb_min m ON m.component = n.component
+LEFT JOIN mb_best b ON b.component = n.component
+""",
+)
 def q_cluster_mbr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rotating-calipers minimum bounding rectangle per component
-    (applyInPandas grouped-map; reference math_utils.py:65-130).
-    Validated against a NumPy oracle in tests/test_geometry.py."""
-    return cluster_mbr(_ground_with_comp(spark, sf_dir))
+    """Minimum bounding rectangle per component via the ORACLE-EXACT
+    pair-direction search (operators/geometry.cluster_mbr_exact):
+    exact mm-integer dot/cross ranges per candidate direction, one
+    fixed double formula for area/length²/width²/center, deterministic
+    (area, pair) argmin. The rotating-calipers variant (cluster_mbr /
+    math_utils.py:65-130 parity, incl. the angle) remains the API path,
+    NumPy-oracle-tested in tests/test_geometry.py."""
+    from .operators.geometry import cluster_mbr_exact
+
+    return cluster_mbr_exact(_ground_with_comp(spark, sf_dir))
 
 
 @register(
