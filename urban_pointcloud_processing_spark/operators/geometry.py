@@ -382,3 +382,144 @@ def cluster_mbr_exact(with_comp: DataFrame,
     return with_comp.groupBy(comp_col).applyInPandas(
         per_cluster, schema=MBR_EXACT_SCHEMA
     )
+
+
+def _mbr_exact_corners(pts_mm: list[tuple[int, int]]):
+    """MBR corner ring (4×(x, y) metres, order (dmin,cmin)→(dmax,cmin)→
+    (dmax,cmax)→(dmin,cmax)) from the exact pair-direction search —
+    same best pick as mbr_exact_rows; None when no non-degenerate
+    direction exists."""
+    uniq = sorted(set(pts_mm))
+    if len(uniq) < 2:
+        return None
+    x0 = min(p[0] for p in uniq)
+    y0 = min(p[1] for p in uniq)
+    q = [(p[0] - x0, p[1] - y0) for p in uniq]
+    best = None
+    for i in range(len(q)):
+        for j in range(i + 1, len(q)):
+            p1, p2 = q[i], q[j]
+            ex, ey = p2[0] - p1[0], p2[1] - p1[1]
+            e2 = ex * ex + ey * ey
+            if e2 == 0:
+                continue
+            dots = [u[0] * ex + u[1] * ey for u in q]
+            crss = [u[0] * ey - u[1] * ex for u in q]
+            adot = max(dots) - min(dots)
+            acrs = max(crss) - min(crss)
+            area = float(adot) * float(acrs) / float(e2)
+            key = (area, p1[0], p1[1], p2[0], p2[1])
+            if best is None or key < best[0]:
+                best = (key, ex, ey, e2, min(dots), max(dots),
+                        min(crss), max(crss))
+    if best is None:
+        return None
+    _, ex, ey, e2, dmin, dmax, cmin, cmax = best
+    corners = []
+    for d, c in ((dmin, cmin), (dmax, cmin), (dmax, cmax), (dmin, cmax)):
+        cx = (float(x0) + float(d * ex + c * ey) / float(e2)) / 1000.0
+        cy = (float(y0) + float(d * ey - c * ex) / float(e2)) / 1000.0
+        corners.append((cx, cy))
+    return corners
+
+
+def _shoelace_seq(poly: list[tuple[float, float]]) -> float:
+    """Sequential-fold shoelace — mirrors the oracle's ordered
+    list_reduce exactly (term order = vertex order)."""
+    if len(poly) < 3:
+        return 0.0
+    s = 0.0
+    n = len(poly)
+    for i in range(n):
+        x, y = poly[i]
+        nx, ny = poly[(i + 1) % n]
+        s += x * ny - nx * y
+    return abs(s) / 2.0
+
+
+def _sh_clip_seq(poly, rx0, ry0, rx1, ry1):
+    """Sutherland–Hodgman against an axis rect, pure-Python sequential —
+    emission order (cur-if-inside, then crossing intersection) mirrors
+    the oracle's (i, slot) ordering; cut formulas mirror its text."""
+
+    def one_pass(pts, inside, cut):
+        out = []
+        n = len(pts)
+        for i in range(n):
+            a, b = pts[i], pts[(i + 1) % n]
+            ain, bin_ = inside(a), inside(b)
+            if ain:
+                out.append(a)
+            if ain != bin_:
+                out.append(cut(a, b))
+        return out
+
+    def x_cut(xv):
+        def cut(a, b):
+            t = (xv - a[0]) / (b[0] - a[0])
+            return (xv, a[1] + t * (b[1] - a[1]))
+        return cut
+
+    def y_cut(yv):
+        def cut(a, b):
+            t = (yv - a[1]) / (b[1] - a[1])
+            return (a[0] + t * (b[0] - a[0]), yv)
+        return cut
+
+    pts = list(poly)
+    for inside, cut in (
+        (lambda p: p[0] >= rx0, x_cut(rx0)),
+        (lambda p: p[0] <= rx1, x_cut(rx1)),
+        (lambda p: p[1] >= ry0, y_cut(ry0)),
+        (lambda p: p[1] <= ry1, y_cut(ry1)),
+    ):
+        if not pts:
+            return []
+        pts = one_pass(pts, inside, cut)
+    return pts
+
+
+def mbr_road_overlap_exact(
+    with_comp: DataFrame,
+    strips: list[tuple],
+    comp_col: str = "component",
+) -> DataFrame:
+    """Oracle-exact rotated-MBR ∩ road-strip overlap: exact-pair MBR
+    corners + sequential S-H clip + ordered-fold shoelace, rid-ordered
+    road accumulation — every double op mirrors the SQL oracle, so the
+    output needs NO rounding. Semantics identical to mbr_road_overlap
+    (reference car_fuser.py:76-85)."""
+    import pandas as pd
+
+    strip_arr = sorted(
+        (int(rid), float(a), float(b), float(c), float(d))
+        for (rid, a, b, c, d) in strips
+    )
+
+    def per_comp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pts = [
+            (int(round(x * 1000.0)), int(round(y * 1000.0)))
+            for x, y in zip(pdf["x"], pdf["y"])
+        ]
+        corners = _mbr_exact_corners(pts)
+        area = _shoelace_seq(corners) if corners else 0.0
+        road = 0.0
+        if corners:
+            for _rid, rx0, ry0, rx1, ry1 in strip_arr:
+                road += _shoelace_seq(
+                    _sh_clip_seq(corners, rx0, ry0, rx1, ry1)
+                )
+        pct = road / area * 100.0 if area > 0 else 0.0
+        return pd.DataFrame(
+            {
+                "component": [int(pdf[comp_col].iloc[0])],
+                "n_points": [len(pdf)],
+                "mbr_area": [area],
+                "road_area": [road],
+                "road_pct": [pct],
+            }
+        )
+
+    return with_comp.groupBy(comp_col).applyInPandas(
+        per_comp, schema=MBR_OVERLAP_SCHEMA
+    )

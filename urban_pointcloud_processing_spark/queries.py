@@ -3265,16 +3265,196 @@ def q_cluster_alpha_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("car_fuser_mbr")  # rotating-calipers MBR: no SQL oracle (rows-only)
+def _sh_pass_sql(src: str, dst: str, cin: str, nin: str,
+                 cutx: str, cuty: str) -> str:
+    """One Sutherland–Hodgman half-plane pass: emit (cur if inside,
+    then crossing intersection) per edge, re-indexed by (i, slot) —
+    mirrors operators/geometry._sh_clip_seq exactly."""
+    return f"""
+{dst}_e AS (
+  SELECT component, rid, rx0, ry0, rx1, ry1, idx AS i, x, y,
+         COALESCE(lead(x) OVER {dst}_w, first_value(x) OVER {dst}_wf) AS nx,
+         COALESCE(lead(y) OVER {dst}_w, first_value(y) OVER {dst}_wf) AS ny
+  FROM {src}
+  WINDOW {dst}_w AS (PARTITION BY component, rid ORDER BY idx),
+         {dst}_wf AS (PARTITION BY component, rid ORDER BY idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+{dst} AS (
+  SELECT component, rid, rx0, ry0, rx1, ry1,
+         row_number() OVER (PARTITION BY component, rid
+                            ORDER BY i, slot) AS idx,
+         vx AS x, vy AS y
+  FROM (
+    SELECT component, rid, rx0, ry0, rx1, ry1, i, 0 AS slot,
+           x AS vx, y AS vy
+    FROM {dst}_e WHERE {cin}
+    UNION ALL
+    SELECT component, rid, rx0, ry0, rx1, ry1, i, 1 AS slot,
+           {cutx} AS vx, {cuty} AS vy
+    FROM {dst}_e WHERE ({cin}) != ({nin})
+  )
+)"""
+
+
+def _car_mbr_sql() -> str:
+    """car_fuser_mbr oracle: exact-pair MBR corners → 4-pass S-H clip
+    vs each road strip → ordered-fold shoelace areas → rid-ordered road
+    accumulation. Every double op mirrors mbr_road_overlap_exact, so
+    raw doubles compare bit-exact."""
+    corner_xy = (
+        "(CAST(x0 AS DOUBLE) + CAST(d * ex + c * ey AS DOUBLE)"
+        " / CAST(e2 AS DOUBLE)) / 1000.0",
+        "(CAST(y0 AS DOUBLE) + CAST(d * ey - c * ex AS DOUBLE)"
+        " / CAST(e2 AS DOUBLE)) / 1000.0",
+    )
+    corners_union = "\n  UNION ALL\n".join(
+        f"  SELECT component, x0, y0, ex, ey, e2,"
+        f" {k} AS idx, {d} AS d, {c} AS c FROM cf_best"
+        for k, (d, c) in enumerate(
+            [("dmin", "cmin"), ("dmax", "cmin"),
+             ("dmax", "cmax"), ("dmin", "cmax")]
+        )
+    )
+    passes = (
+        _sh_pass_sql("cf_v0", "cf_v1", "x >= rx0", "nx >= rx0",
+                     "rx0", "y + ((rx0 - x) / (nx - x)) * (ny - y)")
+        + ","
+        + _sh_pass_sql("cf_v1", "cf_v2", "x <= rx1", "nx <= rx1",
+                       "rx1", "y + ((rx1 - x) / (nx - x)) * (ny - y)")
+        + ","
+        + _sh_pass_sql("cf_v2", "cf_v3", "y >= ry0", "ny >= ry0",
+                       "x + ((ry0 - y) / (ny - y)) * (nx - x)", "ry0")
+        + ","
+        + _sh_pass_sql("cf_v3", "cf_v4", "y <= ry1", "ny <= ry1",
+                       "x + ((ry1 - y) / (ny - y)) * (nx - x)", "ry1")
+    )
+    return f"""
+WITH RECURSIVE {_CC_BASE3},
+stats AS ({cluster_stats_sql('assign3').strip()}),
+cf_dims AS (
+  SELECT component, n_points FROM stats
+  WHERE n_points >= 3 AND x_max - x_min <= 20.0 AND y_max - y_min <= 20.0
+),
+cf_members AS MATERIALIZED (
+  SELECT a.component,
+         CAST(round(a.x * 1000.0) AS BIGINT) AS xm,
+         CAST(round(a.y * 1000.0) AS BIGINT) AS ym
+  FROM assign3 a JOIN cf_dims d ON d.component = a.component
+),
+cf_pts AS (SELECT DISTINCT component, xm, ym FROM cf_members),
+cf_min AS (
+  SELECT component, MIN(xm) AS x0, MIN(ym) AS y0
+  FROM cf_pts GROUP BY component
+),
+cf_q AS (
+  SELECT p.component, p.xm - m.x0 AS qx, p.ym - m.y0 AS qy
+  FROM cf_pts p JOIN cf_min m ON m.component = p.component
+),
+cf_rng AS (
+  SELECT c.component, c.px, c.py, c.qx2, c.qy2, c.ex, c.ey,
+         c.ex * c.ex + c.ey * c.ey AS e2,
+         MAX(u.qx * c.ex + u.qy * c.ey) AS dmax,
+         MIN(u.qx * c.ex + u.qy * c.ey) AS dmin,
+         MAX(u.qx * c.ey - u.qy * c.ex) AS cmax,
+         MIN(u.qx * c.ey - u.qy * c.ex) AS cmin
+  FROM (
+    SELECT a.component, a.qx AS px, a.qy AS py, b.qx AS qx2, b.qy AS qy2,
+           b.qx - a.qx AS ex, b.qy - a.qy AS ey
+    FROM cf_q a JOIN cf_q b
+      ON a.component = b.component AND (a.qx, a.qy) < (b.qx, b.qy)
+  ) c JOIN cf_q u ON u.component = c.component
+  GROUP BY c.component, c.px, c.py, c.qx2, c.qy2, c.ex, c.ey
+),
+cf_best AS MATERIALIZED (
+  SELECT r.*, m.x0, m.y0 FROM (
+    SELECT *, row_number() OVER (
+             PARTITION BY component
+             ORDER BY CAST(dmax - dmin AS DOUBLE)
+                        * CAST(cmax - cmin AS DOUBLE)
+                        / CAST(e2 AS DOUBLE),
+                      px, py, qx2, qy2) AS rn
+    FROM cf_rng
+  ) r JOIN cf_min m ON m.component = r.component
+  WHERE rn = 1
+),
+cf_corners AS MATERIALIZED (
+  SELECT component, idx, {corner_xy[0]} AS x, {corner_xy[1]} AS y
+  FROM (
+{corners_union}
+  )
+),
+cf_area AS (
+  SELECT component,
+         abs(list_reduce(list(term ORDER BY idx), (a, b) -> a + b))
+           / 2.0 AS mbr_area
+  FROM (
+    SELECT component, idx, x * ny - nx * y AS term
+    FROM (
+      SELECT component, idx, x, y,
+             COALESCE(lead(x) OVER ca_w, first_value(x) OVER ca_wf) AS nx,
+             COALESCE(lead(y) OVER ca_w, first_value(y) OVER ca_wf) AS ny
+      FROM cf_corners
+      WINDOW ca_w AS (PARTITION BY component ORDER BY idx),
+             ca_wf AS (PARTITION BY component ORDER BY idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)
+    )
+  ) GROUP BY component
+),
+cf_v0 AS (
+  SELECT c.component, r.rid, r.rx0, r.ry0, r.rx1, r.ry1,
+         c.idx, c.x, c.y
+  FROM cf_corners c CROSS JOIN {road_strips_values_sql()}
+),
+{passes.strip()},
+cf_clip AS (
+  SELECT component, rid,
+         abs(list_reduce(list(term ORDER BY idx), (a, b) -> a + b))
+           / 2.0 AS clip_area
+  FROM (
+    SELECT component, rid, idx, x * ny - nx * y AS term,
+           COUNT(*) OVER (PARTITION BY component, rid) AS cnt
+    FROM (
+      SELECT component, rid, idx, x, y,
+             COALESCE(lead(x) OVER cc_w, first_value(x) OVER cc_wf) AS nx,
+             COALESCE(lead(y) OVER cc_w, first_value(y) OVER cc_wf) AS ny
+      FROM cf_v4
+      WINDOW cc_w AS (PARTITION BY component, rid ORDER BY idx),
+             cc_wf AS (PARTITION BY component, rid ORDER BY idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)
+    )
+  ) WHERE cnt >= 3 GROUP BY component, rid
+),
+cf_road AS (
+  SELECT component,
+         list_reduce(list(clip_area ORDER BY rid), (a, b) -> a + b) AS road
+  FROM cf_clip GROUP BY component
+)
+SELECT d.component, d.n_points, a.mbr_area,
+       COALESCE(r.road, 0.0) / a.mbr_area * 100.0 AS road_pct,
+       40 AS label
+FROM cf_dims d
+JOIN cf_area a ON a.component = d.component
+LEFT JOIN cf_road r ON r.component = d.component
+WHERE a.mbr_area > 0
+  AND COALESCE(r.road, 0.0) / a.mbr_area * 100.0 > 20.0
+"""
+
+
+@register("car_fuser_mbr", _car_mbr_sql())
 def q_car_fuser_mbr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CarFuser with the TRUE rotated minimum bounding rectangle
     (reference car_fuser.py:76-85): per dimension-window cluster, the
-    rotating-calipers MBR is clipped against each road strip
+    exact-pair MBR is clipped against each road strip
     (Sutherland–Hodgman + shoelace — exact convex∩rect areas) and
-    clusters with > 20 % road overlap get the CAR label. Grouped-map
-    NumPy (MBR is not SQL-expressible); geometry validated against
-    hand-computed cases in tests/test_geometry.py."""
-    from .operators.geometry import mbr_road_overlap
+    clusters with > 20 % road overlap get the CAR label. Engine =
+    mbr_road_overlap_exact (sequential double ops mirroring the
+    oracle's ordered list folds); the rotating-calipers variant
+    (mbr_road_overlap) stays NumPy-oracle-tested in
+    tests/test_geometry.py."""
+    from .operators.geometry import mbr_road_overlap_exact
     from .sources.layers import road_strips
 
     stats = cluster_stats(_ground_with_comp(spark, sf_dir, grid=_DIM_GRID))
@@ -3286,7 +3466,7 @@ def q_car_fuser_mbr(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = _ground_with_comp(spark, sf_dir, grid=_DIM_GRID).join(
         F.broadcast(dims), "component"
     )
-    overlap = mbr_road_overlap(members, road_strips())
+    overlap = mbr_road_overlap_exact(members, road_strips())
     return overlap.filter(F.col("road_pct") > 20.0).select(
         "component", "n_points", "mbr_area", "road_pct",
         F.lit(40).alias("label"),
