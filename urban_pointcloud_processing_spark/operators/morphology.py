@@ -131,18 +131,38 @@ ARMATUUR_SCHEMA = StructType(
 def _binned_line(tc: np.ndarray, vc: np.ndarray, binwidth: float):
     """1-D binned-mean line fit (reference _linestring_cable_fit,
     cable_fuser.py:430-460: binned_statistic mean per along-axis bin,
-    NaN bins dropped, linear interpolation between bin centers)."""
-    t0, t1 = float(tc.min()), float(tc.max())
-    nb = max(int(round((t1 - t0) / binwidth)) + 1, 1)
-    idx = np.clip(((tc - t0) / binwidth).astype(int), 0, nb - 1)
-    sums = np.bincount(idx, weights=vc, minlength=nb)
+    NaN bins dropped, linear interpolation between bin centers).
+
+    Deterministic / oracle-exact variant: values are quantized to µm
+    integers before summing (integer sums < 2^53 are exact in float64,
+    so accumulation order cannot matter), bin means and centers are
+    computed with a fixed double-op order, and the interpolation is an
+    explicit clamp-or-bracket formula — every op mirrors the SQL oracle
+    (SURVEY.md §7.3 item 1)."""
+    t0 = float(tc.min())
+    idx = np.floor((tc - t0) / binwidth).astype(np.int64)
+    vq = np.round(vc * 1e6)  # µm integers held in float64 — exact
+    nb = int(idx.max()) + 1
+    sums = np.bincount(idx, weights=vq, minlength=nb)
     cnts = np.bincount(idx, minlength=nb)
     ok = cnts > 0
-    centers = t0 + (np.arange(nb)[ok] + 0.5) * binwidth
-    means = sums[ok] / cnts[ok]
+    centers = t0 + (np.arange(nb, dtype=np.float64)[ok] + 0.5) * binwidth
+    means = (sums[ok] / cnts[ok].astype(np.float64)) / 1e6
 
     def at(t):
-        return np.interp(t, centers, means)
+        t = np.asarray(t, dtype=np.float64)
+        res = np.empty_like(t)
+        lo = t <= centers[0]
+        hi = t >= centers[-1]
+        res[lo] = means[0]
+        res[hi] = means[-1]
+        mid = ~(lo | hi)
+        if mid.any():
+            j = np.searchsorted(centers, t[mid], side="right") - 1
+            res[mid] = means[j] + (t[mid] - centers[j]) * (
+                (means[j + 1] - means[j]) / (centers[j + 1] - centers[j])
+            )
+        return res
 
     return at
 
@@ -208,20 +228,47 @@ def search_armaturen(
         rest = pdf[~pdf["is_cable"]]
         if len(cable) < 2 or len(rest) == 0:
             return _empty_arm()
-        cxy = cable[["x", "y"]].to_numpy(float)
-        mean = cxy.mean(axis=0)
-        c = cxy - mean
-        cov = c.T @ c / len(c)
-        w, v = np.linalg.eigh(cov)
-        d = v[:, int(np.argmax(w))]
-        perp = np.array([-d[1], d[0]])
-        tc, uc = c @ d, c @ perp
+        # Deterministic principal direction from exact integer moments
+        # (mm-quantized, min-centered — same recipe as operators/pca.py,
+        # closed-form 2x2 eigenvector, fixed sign convention). Every
+        # double op below mirrors the armatuur_search SQL oracle.
+        cx = cable["x"].to_numpy(float)
+        cy = cable["y"].to_numpy(float)
+        xm = np.round(cx * 1000.0)
+        ym = np.round(cy * 1000.0)
+        minx, miny = float(xm.min()), float(ym.min())
+        dxq, dyq = xm - minx, ym - miny  # exact integers in float64
+        n = float(len(xm))
+        sx, sy = float(dxq.sum()), float(dyq.sum())
+        sxx = float((dxq * dxq).sum())
+        syy = float((dyq * dyq).sum())
+        sxy = float((dxq * dyq).sum())
+        a = (sxx - sx * sx / n) / n / 1e6
+        cc = (syy - sy * sy / n) / n / 1e6
+        b = (sxy - sx * sy / n) / n / 1e6
+        lam1 = ((a + cc) + np.sqrt((a - cc) * (a - cc) + 4.0 * b * b)) / 2.0
+        if b != 0.0:
+            vx, vy = b, lam1 - a
+        elif a >= cc:
+            vx, vy = 1.0, 0.0
+        else:
+            vx, vy = 0.0, 1.0
+        nrm = np.sqrt(vx * vx + vy * vy)
+        ax, ay = vx / nrm, vy / nrm
+        if ax < 0.0 or (ax == 0.0 and ay < 0.0):
+            ax, ay = -ax, -ay
+        mean_x = (sx / n + minx) / 1000.0
+        mean_y = (sy / n + miny) / 1000.0
+        tc = (cx - mean_x) * ax + (cy - mean_y) * ay
+        uc = (cx - mean_x) * (-ay) + (cy - mean_y) * ax
         zc = cable["z"].to_numpy(float)
         u_at = _binned_line(tc, uc, 4 * voxel)
         z_at = _binned_line(tc, zc, 4 * voxel)
 
-        rxy = rest[["x", "y"]].to_numpy(float) - mean
-        rt, ru = rxy @ d, rxy @ perp
+        rx = rest["x"].to_numpy(float)
+        ry = rest["y"].to_numpy(float)
+        rt = (rx - mean_x) * ax + (ry - mean_y) * ay
+        ru = (rx - mean_x) * (-ay) + (ry - mean_y) * ax
         rz = rest["z"].to_numpy(float)
         du = ru - u_at(rt)
         dz = rz - z_at(rt)

@@ -1655,15 +1655,305 @@ def q_pip_union_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("armatuur_search")  # grouped-map NumPy composite: rows-only
+def _armatuur_sql() -> str:
+    """armatuur_search oracle: the whole composite in one statement —
+    candidate cells (shared PCA SQL) → neighborhood attach (nearest
+    center, cable_grow pattern) → deterministic cable frame (integer
+    moments, closed-form 2x2 eigenvector, fixed sign) → µm-quantized
+    binned-mean lines + explicit clamp-or-bracket interpolation →
+    voxel clip → per-slice set-algebra closing (dilate 2 / erode 2) →
+    per-slice region CC (recursive CTE) → bbox gates → cross-slice
+    blob CC. Every double op mirrors search_armaturen, so raw doubles
+    compare bit-exact."""
+    return f"""
+WITH RECURSIVE feats AS ({pca_cell_features_sql(PAGES_CTE, 5.0, 3).strip()}),
+cables AS MATERIALIZED (
+  SELECT cell_x, cell_y, cell_x * 100000 + cell_y AS cluster_id
+  FROM feats WHERE linearity > 0.9 AND n_points >= 4
+),
+pts AS MATERIALIZED ({PAGES_CTE}),
+members AS (
+  SELECT c.cluster_id, p.x, p.y, p.z, TRUE AS is_cable
+  FROM pts p JOIN cables c
+    ON CAST(floor(p.x / 5.0) AS BIGINT) = c.cell_x
+   AND CAST(floor(p.y / 5.0) AS BIGINT) = c.cell_y
+),
+outside AS (
+  SELECT p.* FROM pts p LEFT JOIN cables c
+    ON CAST(floor(p.x / 5.0) AS BIGINT) = c.cell_x
+   AND CAST(floor(p.y / 5.0) AS BIGINT) = c.cell_y
+  WHERE c.cluster_id IS NULL
+),
+centers AS (
+  SELECT cluster_id, cell_x * 5.0 + 2.5 AS cx, cell_y * 5.0 + 2.5 AS cy
+  FROM cables
+),
+grown AS (
+  SELECT page_id, cluster_id FROM (
+    SELECT o.page_id, c.cluster_id,
+           row_number() OVER (PARTITION BY o.page_id
+             ORDER BY (o.x - c.cx) * (o.x - c.cx)
+                      + (o.y - c.cy) * (o.y - c.cy),
+                      c.cluster_id) AS rn
+    FROM outside o JOIN centers c
+      ON (o.x - c.cx) * (o.x - c.cx)
+         + (o.y - c.cy) * (o.y - c.cy) <= 100.0
+  ) WHERE rn = 1
+),
+arm_pts AS MATERIALIZED (
+  SELECT cluster_id, x, y, z, is_cable FROM members
+  UNION ALL
+  SELECT g.cluster_id, p.x, p.y, p.z, FALSE
+  FROM grown g JOIN pts p ON p.page_id = g.page_id
+),
+hasrest AS MATERIALIZED (SELECT DISTINCT cluster_id FROM arm_pts WHERE NOT is_cable),
+cab AS (
+  SELECT a.cluster_id, a.x, a.y, a.z,
+         CAST(round(a.x * 1000.0) AS BIGINT) AS xm,
+         CAST(round(a.y * 1000.0) AS BIGINT) AS ym
+  FROM arm_pts a JOIN hasrest h ON h.cluster_id = a.cluster_id
+  WHERE a.is_cable
+),
+cabmin AS (
+  SELECT cluster_id, MIN(xm) AS minx, MIN(ym) AS miny, COUNT(*) AS n
+  FROM cab GROUP BY cluster_id HAVING COUNT(*) >= 2
+),
+moms AS (
+  SELECT c.cluster_id, m.n, m.minx, m.miny,
+         SUM(c.xm - m.minx) AS sx, SUM(c.ym - m.miny) AS sy,
+         SUM((c.xm - m.minx) * (c.xm - m.minx)) AS sxx,
+         SUM((c.ym - m.miny) * (c.ym - m.miny)) AS syy,
+         SUM((c.xm - m.minx) * (c.ym - m.miny)) AS sxy
+  FROM cab c JOIN cabmin m ON m.cluster_id = c.cluster_id
+  GROUP BY c.cluster_id, m.n, m.minx, m.miny
+),
+cov AS (
+  SELECT cluster_id, n, minx, miny, sx, sy,
+    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+       / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / 1e6 AS a,
+    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+       / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / 1e6 AS cc,
+    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+       / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / 1e6 AS b
+  FROM moms
+),
+dir0 AS (
+  SELECT cluster_id,
+    (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) + CAST(minx AS DOUBLE))
+      / 1000.0 AS mx,
+    (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) + CAST(miny AS DOUBLE))
+      / 1000.0 AS my,
+    CASE WHEN b != 0.0 THEN b WHEN a >= cc THEN 1.0 ELSE 0.0 END AS vx,
+    CASE WHEN b != 0.0 THEN
+      ((a + cc) + sqrt((a - cc) * (a - cc) + 4.0 * b * b)) / 2.0 - a
+    WHEN a >= cc THEN 0.0 ELSE 1.0 END AS vy
+  FROM cov
+),
+dirn AS (
+  SELECT cluster_id, mx, my,
+    CASE WHEN dx0 < 0.0 OR (dx0 = 0.0 AND dy0 < 0.0)
+         THEN -dx0 ELSE dx0 END AS ax,
+    CASE WHEN dx0 < 0.0 OR (dx0 = 0.0 AND dy0 < 0.0)
+         THEN -dy0 ELSE dy0 END AS ay
+  FROM (
+    SELECT cluster_id, mx, my,
+           vx / sqrt(vx * vx + vy * vy) AS dx0,
+           vy / sqrt(vx * vx + vy * vy) AS dy0
+    FROM dir0
+  )
+),
+rot AS MATERIALIZED (
+  SELECT p.cluster_id, p.is_cable, p.z,
+         (p.x - d.mx) * d.ax + (p.y - d.my) * d.ay AS t,
+         (p.x - d.mx) * (-d.ay) + (p.y - d.my) * d.ax AS u
+  FROM arm_pts p JOIN dirn d ON d.cluster_id = p.cluster_id
+),
+tmin AS (
+  SELECT cluster_id, MIN(t) AS t0 FROM rot WHERE is_cable
+  GROUP BY cluster_id
+),
+binsums AS (
+  SELECT r.cluster_id, m.t0,
+         CAST(floor((r.t - m.t0) / 2.0) AS BIGINT) AS bidx,
+         COUNT(*) AS cnt,
+         SUM(CAST(round(r.u * 1000000.0) AS BIGINT)) AS squ,
+         SUM(CAST(round(r.z * 1000000.0) AS BIGINT)) AS sqz
+  FROM rot r JOIN tmin m ON m.cluster_id = r.cluster_id
+  WHERE r.is_cable
+  GROUP BY r.cluster_id, m.t0, bidx
+),
+bins AS (
+  SELECT cluster_id, bidx,
+         t0 + (CAST(bidx AS DOUBLE) + 0.5) * 2.0 AS center,
+         (CAST(squ AS DOUBLE) / CAST(cnt AS DOUBLE)) / 1e6 AS mu,
+         (CAST(sqz AS DOUBLE) / CAST(cnt AS DOUBLE)) / 1e6 AS mz
+  FROM binsums
+),
+brack AS (
+  SELECT cluster_id, center, mu, mz,
+         lead(center) OVER bw_w AS c2,
+         lead(mu) OVER bw_w AS mu2,
+         lead(mz) OVER bw_w AS mz2
+  FROM bins
+  WINDOW bw_w AS (PARTITION BY cluster_id ORDER BY bidx)
+),
+bounds AS (
+  SELECT cluster_id, MIN(center) AS cfirst, MAX(center) AS clast,
+         arg_min(mu, bidx) AS mufirst, arg_max(mu, bidx) AS mulast,
+         arg_min(mz, bidx) AS mzfirst, arg_max(mz, bidx) AS mzlast
+  FROM bins GROUP BY cluster_id
+),
+rfit AS (
+  SELECT r.cluster_id, r.t, r.u, r.z,
+    CASE WHEN r.t <= b.cfirst THEN b.mufirst
+         WHEN r.t >= b.clast  THEN b.mulast
+         ELSE k.mu + (r.t - k.center) * ((k.mu2 - k.mu) / (k.c2 - k.center))
+    END AS ufit,
+    CASE WHEN r.t <= b.cfirst THEN b.mzfirst
+         WHEN r.t >= b.clast  THEN b.mzlast
+         ELSE k.mz + (r.t - k.center) * ((k.mz2 - k.mz) / (k.c2 - k.center))
+    END AS zfit
+  FROM rot r
+  JOIN bounds b ON b.cluster_id = r.cluster_id
+  LEFT JOIN brack k ON k.cluster_id = r.cluster_id
+       AND k.c2 IS NOT NULL AND r.t >= k.center AND r.t < k.c2
+  WHERE NOT r.is_cable
+),
+kept AS MATERIALIZED (
+  SELECT cluster_id,
+         CAST(floor(t / 0.5) AS BIGINT) AS ti,
+         CAST(floor((u - ufit) / 0.5) AS BIGINT) AS ui,
+         CAST(floor((z - zfit) / 0.5) AS BIGINT) AS zi
+  FROM rfit
+  WHERE abs(u - ufit) < 3.0 AND (z - zfit) > -4.0 AND (z - zfit) < 1.0
+),
+kmin AS (SELECT cluster_id, MIN(ti) AS ti0 FROM kept GROUP BY cluster_id),
+sliced AS MATERIALIZED (
+  SELECT k.cluster_id, (k.ti - m.ti0) // 3 AS s, k.ui, k.zi
+  FROM kept k JOIN kmin m ON m.cluster_id = k.cluster_id
+),
+slice_ok AS (
+  SELECT cluster_id, s FROM sliced GROUP BY cluster_id, s
+  HAVING SUM(CASE WHEN zi < 0 THEN 1 ELSE 0 END) >= 3
+),
+occ AS MATERIALIZED (
+  SELECT DISTINCT d.cluster_id, d.s, d.ui, d.zi
+  FROM sliced d JOIN slice_ok o
+    ON o.cluster_id = d.cluster_id AND o.s = d.s
+),
+off5 AS (SELECT * FROM (VALUES (-2), (-1), (0), (1), (2)) o(d)),
+dil AS MATERIALIZED (
+  SELECT DISTINCT o.cluster_id, o.s, o.ui + a.d AS u, o.zi + b.d AS z
+  FROM occ o CROSS JOIN off5 a CROSS JOIN off5 b
+),
+clos AS MATERIALIZED (
+  SELECT a.cluster_id, a.s, a.u, a.z
+  FROM dil a JOIN dil b
+    ON a.cluster_id = b.cluster_id AND a.s = b.s
+   AND abs(a.u - b.u) <= 2 AND abs(a.z - b.z) <= 2
+  GROUP BY a.cluster_id, a.s, a.u, a.z
+  HAVING COUNT(*) = 25
+),
+ccel AS MATERIALIZED (
+  SELECT cluster_id, s, u, z, u * 2147483648 + z AS cell FROM clos
+),
+cadj AS MATERIALIZED (
+  SELECT a.cluster_id, a.s, a.cell AS src, b.cell AS dst
+  FROM ccel a JOIN ccel b
+    ON a.cluster_id = b.cluster_id AND a.s = b.s
+   AND abs(a.u - b.u) <= 1 AND abs(a.z - b.z) <= 1
+),
+creach(cluster_id, s, src, node) AS (
+  SELECT cluster_id, s, cell, cell FROM ccel
+  UNION
+  SELECT r.cluster_id, r.s, r.src, e.dst
+  FROM creach r JOIN cadj e
+    ON e.cluster_id = r.cluster_id AND e.s = r.s AND e.src = r.node
+),
+creg AS (
+  SELECT cluster_id, s, src AS cell, MIN(node) AS rid
+  FROM creach GROUP BY cluster_id, s, src
+),
+regs AS (
+  SELECT c.cluster_id, c.s, g.rid, COUNT(*) AS n_vox,
+         MIN(c.u) AS umin, MAX(c.u) AS umax,
+         MIN(c.z) AS zmin, MAX(c.z) AS zmax,
+         MIN(c.cell) AS first_key
+  FROM ccel c JOIN creg g
+    ON g.cluster_id = c.cluster_id AND g.s = c.s AND g.cell = c.cell
+  GROUP BY c.cluster_id, c.s, g.rid
+  HAVING COUNT(*) >= 3
+),
+dets AS MATERIALIZED (
+  SELECT cluster_id, s, umin, umax, n_vox, width, height,
+         axis_off, z_off,
+         (width >= 0.5 AND width < 6.0 AND height >= 0.5 AND height < 6.0
+          AND axis_off < 3.0
+          AND z_off > GREATEST(0.25, height / 2.0)) AS ok,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY s, first_key) AS det_idx
+  FROM (
+    SELECT cluster_id, s, umin, umax, n_vox, first_key,
+           (umax - umin + 1) * 0.5 AS width,
+           (zmax - zmin + 1) * 0.5 AS height,
+           abs((CAST(umin + umax AS DOUBLE) / 2.0 + 0.5) * 0.5) AS axis_off,
+           -((CAST(zmin + zmax AS DOUBLE) / 2.0 + 0.5) * 0.5) AS z_off
+    FROM regs
+  )
+),
+dadj AS MATERIALIZED (
+  SELECT a.cluster_id, a.det_idx AS src, b.det_idx AS dst
+  FROM dets a JOIN dets b
+    ON a.cluster_id = b.cluster_id
+   AND abs(a.s - b.s) = 1 AND a.umin <= b.umax AND b.umin <= a.umax
+),
+dreach(cluster_id, src, node) AS (
+  SELECT cluster_id, det_idx, det_idx FROM dets
+  UNION
+  SELECT r.cluster_id, r.src, e.dst
+  FROM dreach r JOIN dadj e
+    ON e.cluster_id = r.cluster_id AND e.src = r.node
+),
+dblob AS (
+  SELECT cluster_id, src AS det_idx, MIN(node) AS root
+  FROM dreach GROUP BY cluster_id, src
+),
+blobs AS (
+  SELECT d.cluster_id, b.root,
+         COUNT(DISTINCT d.s) AS n_slices,
+         SUM(d.n_vox) AS n_voxels,
+         round(MAX(d.width), 6) AS width,
+         round(MAX(d.height), 6) AS height,
+         round(MIN(d.axis_off), 6) AS axis_off,
+         round(MAX(d.z_off), 6) AS z_off,
+         MAX(CASE WHEN d.ok THEN 1 ELSE 0 END) AS accepted
+  FROM dets d JOIN dblob b
+    ON b.cluster_id = d.cluster_id AND b.det_idx = d.det_idx
+  GROUP BY d.cluster_id, b.root
+)
+SELECT cluster_id,
+       CAST(row_number() OVER (PARTITION BY cluster_id ORDER BY root) - 1
+            AS INTEGER) AS armatuur_id,
+       CAST(n_slices AS INTEGER) AS n_slices,
+       CAST(n_voxels AS BIGINT) AS n_voxels,
+       width, height, axis_off, z_off,
+       CAST(accepted AS INTEGER) AS accepted
+FROM blobs
+"""
+
+
+@register("armatuur_search", _armatuur_sql())
 def q_armatuur_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Armatuur (hanging-object) search composite (reference
     _search_armaturen, cable_fuser.py:576-673): per cable cluster,
     rotate to the cable frame, fit the u(t)/z(t) lines by 1-D binned
     means, clip the non-cable neighborhood, then slice-wise
     close→label→bounding-box tests and cross-slice blob merge.
-    Semantics validated on constructed cable+blob fixtures in
-    tests/test_morphology.py."""
+    Oracle-exact: the engine's per-cluster float path is deterministic
+    (integer-moment PCA, µm-quantized bin sums, explicit interp), so
+    every double matches the single-statement DuckDB oracle bit-exactly;
+    semantics additionally validated on constructed cable+blob fixtures
+    in tests/test_morphology.py."""
     from .operators.morphology import search_armaturen
 
     pages = pages_from_orders(spark, sf_dir)
