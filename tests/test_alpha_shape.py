@@ -75,3 +75,35 @@ def test_cluster_alpha_shape_grouped_map(spark):
     assert len(largest) == 1 and 70.0 <= largest[0]["area"] <= 90.0
     # 3 points: no polygon, sentinel row
     assert by_comp[1][0]["poly_idx"] == -1
+
+
+def test_alpha_shape_hole_nesting(spark):
+    """Square annulus: outer ring with an interior hole → ONE outer row
+    with n_holes=1 and net area = outer − hole (reference
+    generate_poly_from_edges semantics); an island blob inside the hole
+    is dropped (reference deletes all contained polys)."""
+    rows = []
+    for i in range(15):
+        for j in range(15):
+            if 3 <= i <= 11 and 3 <= j <= 11:
+                continue  # the hole
+            rows.append((0, float(i), float(j)))
+    df = spark.createDataFrame(rows, ["component", "x", "y"])
+    got = cluster_alpha_shape(df, alpha=0.6).collect()
+    outs = [r for r in got if r["poly_idx"] >= 0]
+    assert len(outs) == 1, got
+    r = outs[0]
+    assert r["n_holes"] == 1
+    # outer 196, hole ~64-81 → net well inside (100, 160)
+    assert 100.0 <= r["area"] <= 160.0, r
+    assert r["is_largest"]
+
+    # island inside the hole: a 1x1 blob at the center, ≥4 m from the
+    # ring so no bridging triangle's circumradius beats 1/alpha
+    rows2 = rows + [(0, 6.5 + 0.5 * a, 6.5 + 0.5 * b)
+                    for a in range(3) for b in range(3)]
+    df2 = spark.createDataFrame(rows2, ["component", "x", "y"])
+    got2 = cluster_alpha_shape(df2, alpha=0.6).collect()
+    outs2 = [r for r in got2 if r["poly_idx"] >= 0]
+    assert len(outs2) == 1, got2  # island dropped, not emitted
+    assert outs2[0]["n_holes"] == 1

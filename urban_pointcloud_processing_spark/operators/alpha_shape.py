@@ -33,7 +33,9 @@ from pyspark.sql.types import (
 
 def _circumcircle(pa, pb, pc):
     """(center, radius²) of the triangle circumcircle; radius² = inf
-    for (near-)collinear triangles."""
+    for (near-)collinear triangles. Explicit multiplications (no **):
+    libm pow is not guaranteed correctly rounded, plain * is — every
+    double op here mirrors the SQL oracle bit-for-bit."""
     ax, ay = pa
     bx, by = pb
     cx, cy = pc
@@ -50,7 +52,7 @@ def _circumcircle(pa, pb, pc):
         + (bx * bx + by * by) * (ax - cx)
         + (cx * cx + cy * cy) * (bx - ax)
     ) / d
-    r2 = (ax - ux) ** 2 + (ay - uy) ** 2
+    r2 = (ax - ux) * (ax - ux) + (ay - uy) * (ay - uy)
     return (ux, uy), r2
 
 
@@ -76,7 +78,7 @@ def delaunay_triangles(pts: np.ndarray) -> list[tuple[int, int, int]]:
         bad = []
         for t in tris:
             (ux, uy), r2 = cc[t]
-            if (px - ux) ** 2 + (py - uy) ** 2 <= r2:
+            if (px - ux) * (px - ux) + (py - uy) * (py - uy) <= r2:
                 bad.append(t)
         # boundary of the cavity = edges used by exactly one bad tri
         edge_count: dict[tuple[int, int], int] = {}
@@ -96,65 +98,156 @@ def delaunay_triangles(pts: np.ndarray) -> list[tuple[int, int, int]]:
     return out
 
 
+def _boundary_loops(pts: np.ndarray, kept: list[tuple[int, int, int]]):
+    """Split the alpha-complex boundary into simple vertex loops.
+
+    Reference semantics: stitch_boundaries + split_loops
+    (alpha_shape_utils.py:105-157) — figure-eight boundaries that pinch
+    at a shared vertex are split into separate simple loops. The
+    reference walks edges popped from a Python set (iteration-order
+    dependent); this implementation is the deterministic, SQL-mirrorable
+    equivalent: at each pinch vertex the boundary edges pair up by the
+    maximal fan of kept triangles between them (two boundary edges
+    belong to the same loop iff they bound the same triangle fan), which
+    yields a STATIC successor function over directed boundary edges.
+    Loops are the successor cycles, each started at its minimal
+    undirected edge (lo→hi).
+
+    Returns [(loop_key, vert_idx_list)] ordered by loop_key, where
+    loop_key is the minimal (lo, hi) edge of the loop.
+    """
+    from collections import defaultdict
+
+    edge_count: dict[tuple[int, int], int] = {}
+    edge_tri: dict[tuple[int, int], int] = {}
+    for ti, t in enumerate(kept):
+        for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+            k = (min(e), max(e))
+            edge_count[k] = edge_count.get(k, 0) + 1
+            edge_tri[k] = ti
+    boundary = sorted(e for e, cnt in edge_count.items() if cnt == 1)
+    if not boundary:
+        return []
+
+    tri_at: dict[int, list[int]] = defaultdict(list)
+    for ti, t in enumerate(kept):
+        for v in t:
+            tri_at[v].append(ti)
+    bd_at: dict[int, list[tuple[int, int]]] = defaultdict(list)
+    for e in boundary:
+        bd_at[e[0]].append(e)
+        bd_at[e[1]].append(e)
+
+    # pair boundary edges at each vertex by triangle-fan membership
+    pair_at: dict[tuple[int, tuple[int, int]], tuple[int, int]] = {}
+    for v, bes in bd_at.items():
+        tris_v = tri_at[v]
+        parent = {t: t for t in tris_v}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        shared: dict[tuple[int, int], list[int]] = defaultdict(list)
+        for ti in tris_v:
+            for u in kept[ti]:
+                if u != v:
+                    shared[(min(v, u), max(v, u))].append(ti)
+        for ts in shared.values():
+            for t2 in ts[1:]:
+                ra, rb = find(ts[0]), find(t2)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        fan_edges: dict[int, list[tuple[int, int]]] = defaultdict(list)
+        for e in bes:
+            fan_edges[find(edge_tri[e])].append(e)
+        for es in fan_edges.values():
+            if len(es) != 2:  # degenerate float triangulation — bail
+                return []
+            pair_at[(v, es[0])] = es[1]
+            pair_at[(v, es[1])] = es[0]
+
+    loops = []
+    done: set[tuple[int, int]] = set()
+    for e0 in boundary:
+        if e0 in done:
+            continue
+        a, b = e0
+        verts = [a]
+        while True:
+            done.add((min(a, b), max(a, b)))
+            nxt_e = pair_at[(b, (min(a, b), max(a, b)))]
+            c = nxt_e[0] if nxt_e[1] == b else nxt_e[1]
+            if (b, c) == e0:
+                break
+            verts.append(b)
+            a, b = b, c
+        loops.append((e0, verts))
+    return loops
+
+
+def _loop_area(idx: list[int], pts: np.ndarray) -> float:
+    """Sequential-fold shoelace over the walk order (term order mirrors
+    the oracle's ordered list_reduce exactly)."""
+    s = 0.0
+    k = len(idx)
+    for i in range(k):
+        x1, y1 = pts[idx[i]]
+        x2, y2 = pts[idx[(i + 1) % k]]
+        s += x1 * y2 - x2 * y1
+    return abs(s) / 2.0
+
+
+def _loop_contains(outer_idx: list[int], pts: np.ndarray,
+                   wx: float, wy: float) -> bool:
+    """Crossing-parity point-in-ring over the walk-ordered edges — the
+    same float formula as the PIP oracles (deterministic both engines)."""
+    cnt = 0
+    k = len(outer_idx)
+    for i in range(k):
+        x1, y1 = pts[outer_idx[i]]
+        x2, y2 = pts[outer_idx[(i + 1) % k]]
+        if (y1 > wy) != (y2 > wy) and wx < (x2 - x1) * (wy - y1) / (y2 - y1) + x1:
+            cnt += 1
+    return cnt % 2 == 1
+
+
+def alpha_shape_loops(xy: np.ndarray, alpha: float = 1.0):
+    """All boundary loops of the alpha complex, deterministically split
+    at pinch vertices. Returns (pts, [(loop_key, vert_idx_list)])."""
+    pts = np.unique(xy.astype(float), axis=0)
+    if len(pts) < 4:
+        return pts, []  # reference asserts >= 4 pts (alpha_shape_utils.py:50)
+    r_max2 = np.inf if alpha <= 0 else (1.0 / alpha) * (1.0 / alpha)
+    # filter with SORTED vertex order so the circumradius doubles match
+    # the oracle's i<j<k evaluation exactly (circumcircle float results
+    # depend on argument order)
+    kept = []
+    for t in delaunay_triangles(pts):
+        ts = (min(t), sorted(t)[1], max(t))
+        if _circumcircle(pts[ts[0]], pts[ts[1]], pts[ts[2]])[1] < r_max2:
+            kept.append(ts)
+    return pts, _boundary_loops(pts, kept)
+
+
 def alpha_shape_polys(
     xy: np.ndarray, alpha: float = 1.0
 ) -> list[np.ndarray]:
     """Concave hull rings (each (k, 2), closed implicitly) of a point
     set: triangles with circumradius < 1/alpha are kept; edges used by
-    exactly one kept triangle form the boundary; chains assemble into
-    rings (reference alpha_shape + generate_poly_from_edges)."""
-    pts = np.unique(xy.astype(float), axis=0)
-    if len(pts) < 4:
-        return []  # reference asserts >= 4 points (alpha_shape_utils.py:50)
-    r_max2 = np.inf if alpha <= 0 else (1.0 / alpha) ** 2
-    kept = [
-        t
-        for t in delaunay_triangles(pts)
-        if _circumcircle(pts[t[0]], pts[t[1]], pts[t[2]])[1] < r_max2
-    ]
-    edge_count: dict[tuple[int, int], int] = {}
-    for t in kept:
-        for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
-            k = (min(e), max(e))
-            edge_count[k] = edge_count.get(k, 0) + 1
-    boundary = [e for e, cnt in edge_count.items() if cnt == 1]
-    # assemble chains: adjacency walk with smallest-index start for
-    # determinism
-    adj: dict[int, list[int]] = {}
-    for a, b in boundary:
-        adj.setdefault(a, []).append(b)
-        adj.setdefault(b, []).append(a)
-    unused = {tuple(sorted(e)) for e in boundary}
-    rings = []
-    while unused:
-        start = min(min(e) for e in unused)
-        ring = [start]
-        cur, prev = start, -1
-        while True:
-            nxts = [
-                v for v in sorted(adj[cur])
-                if tuple(sorted((cur, v))) in unused
-            ]
-            if not nxts:
-                break
-            nxt = nxts[0]
-            unused.discard(tuple(sorted((cur, nxt))))
-            if nxt == start:
-                break
-            ring.append(nxt)
-            prev, cur = cur, nxt
-        if len(ring) >= 3:
-            rings.append(pts[ring])
-    return rings
+    exactly one kept triangle form the boundary; loops assemble by the
+    deterministic fan-pairing walk (reference alpha_shape +
+    generate_poly_from_edges)."""
+    pts, loops = alpha_shape_loops(xy, alpha)
+    return [pts[idx] for _, idx in loops if len(idx) >= 3]
 
 
 def _ring_area(ring: np.ndarray) -> float:
     if len(ring) < 3:
         return 0.0
-    x, y = ring[:, 0], ring[:, 1]
-    return float(
-        abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2.0
-    )
+    return _loop_area(list(range(len(ring))), ring)
 
 
 ALPHA_SCHEMA = StructType(
@@ -163,6 +256,7 @@ ALPHA_SCHEMA = StructType(
         StructField("poly_idx", IntegerType()),
         StructField("n_vertices", IntegerType()),
         StructField("area", DoubleType()),
+        StructField("n_holes", IntegerType()),
         StructField("is_largest", BooleanType()),
     ]
 )
@@ -173,27 +267,54 @@ def cluster_alpha_shape(
     alpha: float = 1.0,
     comp_col: str = "component",
 ) -> DataFrame:
-    """Per-component concave hull polygons + the biggest-polygon argmax
-    (reference keeps the largest outer ring, alpha_shape_utils.py:
-    179-180). Grouped-map NumPy; one row per hull polygon."""
+    """Per-component concave hull polygons with hole nesting + the
+    biggest-polygon argmax (reference generate_poly_from_edges,
+    alpha_shape_utils.py:176-202: the outer rings are emitted with
+    their directly-nested holes subtracted; islands inside holes are
+    dropped, mirroring the reference's `outer - poly` loop). One row
+    per OUTER polygon: net area = outer − Σ direct holes, n_holes =
+    number of direct holes. Grouped-map NumPy; deterministic walk and
+    float ops mirror the SQL oracle."""
 
     def per_comp(pdf: pd.DataFrame) -> pd.DataFrame:
         comp = int(pdf[comp_col].iloc[0])
-        rings = alpha_shape_polys(
+        pts, loops = alpha_shape_loops(
             pdf[["x", "y"]].to_numpy(dtype=float), alpha
         )
+        cols = ["component", "poly_idx", "n_vertices", "area",
+                "n_holes", "is_largest"]
+        if not loops:
+            return pd.DataFrame(
+                [(comp, -1, int(len(pdf)), 0.0, 0, False)], columns=cols
+            )
+        k = len(loops)
+        areas = [_loop_area(idx, pts) for _, idx in loops]
+        testv = [min(idx) for _, idx in loops]
+        inside = [[False] * k for _ in range(k)]  # inside[i][j]: i ⊇ j
+        for i in range(k):
+            for j in range(k):
+                if i != j:
+                    wx, wy = pts[testv[j]]
+                    inside[i][j] = _loop_contains(loops[i][1], pts, wx, wy)
+        depth = [sum(inside[i][j] for i in range(k) if i != j)
+                 for j in range(k)]
         rows = []
-        areas = [_ring_area(r) for r in rings]
-        big = int(np.argmax(areas)) if areas else -1
-        for i, (r, a) in enumerate(zip(rings, areas)):
-            rows.append((comp, i, int(len(r)), round(a, 6), i == big))
-        if not rows:
-            rows.append((comp, -1, int(len(pdf)), 0.0, False))
-        return pd.DataFrame(
-            rows,
-            columns=["component", "poly_idx", "n_vertices", "area",
-                     "is_largest"],
-        )
+        for i in range(k):  # loops already ordered by loop_key
+            if depth[i] != 0:
+                continue
+            net = areas[i]
+            n_holes = 0
+            for j in range(k):  # key order — mirrors the oracle fold
+                if j != i and depth[j] == 1 and inside[i][j]:
+                    net = net - areas[j]
+                    n_holes += 1
+            rows.append(
+                (comp, len(rows), int(len(loops[i][1])), round(net, 6),
+                 n_holes, False)
+            )
+        big = min(range(len(rows)), key=lambda r: (-rows[r][3], r))
+        rows[big] = rows[big][:5] + (True,)
+        return pd.DataFrame(rows, columns=cols)
 
     return with_comp.groupBy(comp_col).applyInPandas(
         per_comp, schema=ALPHA_SCHEMA

@@ -3540,13 +3540,237 @@ def q_cable_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("cluster_alpha_shape")  # Delaunay-based: no SQL oracle (rows-only)
+def _alpha_shape_sql() -> str:
+    """cluster_alpha_shape oracle: brute-force empty-circumcircle
+    Delaunay over i<j<k vid triples (equivalent to the engine's
+    Bowyer–Watson on general-position data; circumcircle doubles are
+    evaluated in the same sorted-vertex order) → circumradius filter →
+    boundary edges (count=1) → fan-pairing at pinch vertices (triangle
+    CC per vertex, recursive CTE) → static-successor loop walk →
+    ordered-fold shoelace → crossing-parity hole nesting. Mirrors
+    operators/alpha_shape.py op-for-op."""
+    # circumcircle of the vid-sorted triple (mirrors _circumcircle)
+    circ = """
+    SELECT p1.component, p1.vid AS i, p2.vid AS j, p3.vid AS k,
+           p1.x AS ax, p1.y AS ay, p2.x AS bx, p2.y AS by,
+           p3.x AS cx, p3.y AS cy,
+           2.0 * (p1.x * (p2.y - p3.y) + p2.x * (p3.y - p1.y)
+                  + p3.x * (p1.y - p2.y)) AS d
+    FROM upts p1
+    JOIN upts p2 ON p2.component = p1.component AND p2.vid > p1.vid
+    JOIN upts p3 ON p3.component = p1.component AND p3.vid > p2.vid
+    JOIN usize s ON s.component = p1.component AND s.n_uniq >= 4
+    """
+    return f"""
+WITH RECURSIVE {_CC_BASE3},
+memb AS MATERIALIZED (SELECT component, x, y FROM assign3),
+csize AS (SELECT component, COUNT(*) AS n_rows FROM memb GROUP BY component),
+upts AS MATERIALIZED (
+  SELECT component, x, y,
+         row_number() OVER (PARTITION BY component ORDER BY x, y) - 1 AS vid
+  FROM (SELECT DISTINCT component, x, y FROM memb)
+),
+usize AS (SELECT component, COUNT(*) AS n_uniq FROM upts GROUP BY component),
+tcand AS (
+  SELECT component, i, j, k, ux, uy,
+         (ax - ux) * (ax - ux) + (ay - uy) * (ay - uy) AS r2
+  FROM (
+    SELECT *,
+      ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by) * (cy - ay)
+       + (cx * cx + cy * cy) * (ay - by)) / d AS ux,
+      ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by) * (ax - cx)
+       + (cx * cx + cy * cy) * (bx - ax)) / d AS uy
+    FROM ({circ}) WHERE abs(d) >= 1e-12
+  )
+),
+tris AS MATERIALIZED (
+  SELECT component, i, j, k,
+         (i * 1048576 + j) * 1048576 + k AS tid
+  FROM tcand t
+  WHERE t.r2 < (1.0 / 0.3) * (1.0 / 0.3)
+    AND NOT EXISTS (
+      SELECT 1 FROM upts q
+      WHERE q.component = t.component
+        AND q.vid != t.i AND q.vid != t.j AND q.vid != t.k
+        AND (q.x - t.ux) * (q.x - t.ux)
+            + (q.y - t.uy) * (q.y - t.uy) < t.r2
+    )
+),
+tedges AS MATERIALIZED (
+  SELECT component, tid, i AS va, j AS vb FROM tris
+  UNION ALL SELECT component, tid, j, k FROM tris
+  UNION ALL SELECT component, tid, i, k FROM tris
+),
+bedges AS MATERIALIZED (
+  SELECT component, va, vb, MIN(tid) AS btid,
+         va * 1048576 + vb AS ekey
+  FROM tedges GROUP BY component, va, vb HAVING COUNT(*) = 1
+),
+bverts AS (
+  SELECT DISTINCT component, va AS v FROM bedges
+  UNION SELECT DISTINCT component, vb FROM bedges
+),
+evt AS MATERIALIZED (
+  SELECT e.component, e.va AS v, e.vb AS other, e.tid
+  FROM tedges e JOIN bverts w ON w.component = e.component AND w.v = e.va
+  UNION ALL
+  SELECT e.component, e.vb, e.va, e.tid
+  FROM tedges e JOIN bverts w ON w.component = e.component AND w.v = e.vb
+),
+tadj AS MATERIALIZED (
+  SELECT a.component, a.v, a.tid AS src, b.tid AS dst
+  FROM evt a JOIN evt b
+    ON a.component = b.component AND a.v = b.v AND a.other = b.other
+   AND a.tid != b.tid
+),
+freach(component, v, src, node) AS (
+  SELECT DISTINCT component, v, tid, tid FROM evt
+  UNION
+  SELECT r.component, r.v, r.src, e.dst
+  FROM freach r JOIN tadj e
+    ON e.component = r.component AND e.v = r.v AND e.src = r.node
+),
+fan AS (
+  SELECT component, v, src AS tid, MIN(node) AS fid
+  FROM freach GROUP BY component, v, src
+),
+bev AS (
+  SELECT b.component, b.va AS v, b.ekey, f.fid
+  FROM bedges b JOIN fan f
+    ON f.component = b.component AND f.v = b.va AND f.tid = b.btid
+  UNION ALL
+  SELECT b.component, b.vb, b.ekey, f.fid
+  FROM bedges b JOIN fan f
+    ON f.component = b.component AND f.v = b.vb AND f.tid = b.btid
+),
+prs AS MATERIALIZED (
+  SELECT component, v, MIN(ekey) AS e1, MAX(ekey) AS e2
+  FROM bev GROUP BY component, v, fid
+),
+psucc AS MATERIALIZED (
+  SELECT component,
+    CASE WHEN e1 // 1048576 = v THEN e1 % 1048576
+         ELSE e1 // 1048576 END AS a,
+    v AS b,
+    CASE WHEN e2 // 1048576 = v THEN e2 % 1048576
+         ELSE e2 // 1048576 END AS c
+  FROM prs
+  UNION ALL
+  SELECT component,
+    CASE WHEN e2 // 1048576 = v THEN e2 % 1048576
+         ELSE e2 // 1048576 END,
+    v,
+    CASE WHEN e1 // 1048576 = v THEN e1 % 1048576
+         ELSE e1 // 1048576 END
+  FROM prs
+),
+elink AS (SELECT component, e1 AS src, e2 AS dst FROM prs
+          UNION ALL SELECT component, e2, e1 FROM prs),
+lreach(component, src, node) AS (
+  SELECT component, ekey, ekey FROM bedges
+  UNION
+  SELECT r.component, r.src, l.dst
+  FROM lreach r JOIN elink l
+    ON l.component = r.component AND l.src = r.node
+),
+loopid AS (
+  SELECT component, src AS ekey, MIN(node) AS lid
+  FROM lreach GROUP BY component, src
+),
+walk(component, lid, step, a, b) AS (
+  SELECT component, lid, 0, lid // 1048576, lid % 1048576
+  FROM (SELECT DISTINCT component, lid FROM loopid)
+  UNION ALL
+  SELECT w.component, w.lid, w.step + 1, w.b, s.c
+  FROM walk w JOIN psucc s
+    ON s.component = w.component AND s.a = w.a AND s.b = w.b
+  WHERE NOT (w.b = w.lid // 1048576 AND s.c = w.lid % 1048576)
+),
+wseg AS MATERIALIZED (
+  SELECT w.component, w.lid, w.step, w.a,
+         pa.x AS x1, pa.y AS y1, pb.x AS x2, pb.y AS y2
+  FROM walk w
+  JOIN upts pa ON pa.component = w.component AND pa.vid = w.a
+  JOIN upts pb ON pb.component = w.component AND pb.vid = w.b
+),
+larea AS MATERIALIZED (
+  SELECT component, lid, COUNT(*) AS n_verts, MIN(a) AS tvid,
+         abs(list_reduce(list(x1 * y2 - x2 * y1 ORDER BY step),
+                         (x, y) -> x + y)) / 2.0 AS area
+  FROM wseg GROUP BY component, lid
+),
+lcont AS MATERIALIZED (
+  SELECT s.component, s.lid AS outer_lid, j.lid AS inner_lid,
+         (SUM(CASE WHEN (s.y1 > q.y) != (s.y2 > q.y)
+                    AND q.x < (s.x2 - s.x1) * (q.y - s.y1)
+                              / (s.y2 - s.y1) + s.x1
+              THEN 1 ELSE 0 END) % 2 = 1) AS contained
+  FROM larea j
+  JOIN upts q ON q.component = j.component AND q.vid = j.tvid
+  JOIN wseg s ON s.component = j.component AND s.lid != j.lid
+  GROUP BY s.component, s.lid, j.lid
+),
+ldepth AS (
+  SELECT j.component, j.lid,
+         COALESCE(SUM(CASE WHEN c.contained THEN 1 ELSE 0 END), 0) AS depth
+  FROM larea j LEFT JOIN lcont c
+    ON c.component = j.component AND c.inner_lid = j.lid
+  GROUP BY j.component, j.lid
+),
+onet AS (
+  SELECT o.component, o.lid, o.n_verts,
+         round(list_reduce(
+           list_prepend(o.area,
+             COALESCE(list(k.area ORDER BY k.lid)
+                        FILTER (WHERE k.lid IS NOT NULL), [])),
+           (x, y) -> x - y), 6) AS area,
+         COUNT(k.lid) AS n_holes
+  FROM (
+    SELECT a.* FROM larea a JOIN ldepth d
+      ON d.component = a.component AND d.lid = a.lid AND d.depth = 0
+  ) o
+  LEFT JOIN (
+    SELECT c.component, c.outer_lid, a.lid, a.area
+    FROM lcont c
+    JOIN ldepth d ON d.component = c.component AND d.lid = c.inner_lid
+                  AND d.depth = 1
+    JOIN larea a ON a.component = c.component AND a.lid = c.inner_lid
+    WHERE c.contained
+  ) k ON k.component = o.component AND k.outer_lid = o.lid
+  GROUP BY o.component, o.lid, o.n_verts, o.area
+),
+fin AS (
+  SELECT component, poly_idx, n_vertices, area, n_holes,
+         (row_number() OVER (PARTITION BY component
+                             ORDER BY area DESC, poly_idx) = 1) AS is_largest
+  FROM (
+    SELECT component,
+           CAST(row_number() OVER (PARTITION BY component ORDER BY lid) - 1
+                AS INTEGER) AS poly_idx,
+           CAST(n_verts AS INTEGER) AS n_vertices,
+           area, CAST(n_holes AS INTEGER) AS n_holes
+    FROM onet
+  )
+)
+SELECT component, poly_idx, n_vertices, area, n_holes, is_largest FROM fin
+UNION ALL
+SELECT c.component, -1, CAST(c.n_rows AS INTEGER), 0.0, 0, FALSE
+FROM csize c LEFT JOIN (SELECT DISTINCT component FROM fin) f
+  ON f.component = c.component
+WHERE f.component IS NULL
+"""
+
+
+@register("cluster_alpha_shape", _alpha_shape_sql())
 def q_cluster_alpha_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concave hull (alpha shape) per ground component with the
-    biggest-polygon argmax (reference alpha_shape_utils.py:11-202 +
-    :179-180): scipy-free Bowyer–Watson Delaunay, circumradius-<1/alpha
-    triangle filter, boundary-edge ring assembly — one grouped-map per
-    component. Geometry validated on notched-grid fixtures in
+    """Concave hull (alpha shape) per ground component with hole
+    nesting and the biggest-polygon argmax (reference
+    alpha_shape_utils.py:11-202: Delaunay → circumradius filter →
+    boundary loops split at pinch vertices → outers minus direct
+    holes): scipy-free Bowyer–Watson Delaunay, deterministic
+    fan-pairing walk — one grouped-map per component. Oracle-exact vs
+    the brute-force empty-circumcircle SQL; geometry additionally
+    validated on notched-grid and annulus fixtures in
     tests/test_alpha_shape.py."""
     from .operators.alpha_shape import cluster_alpha_shape
 
