@@ -187,13 +187,15 @@ def _scaling_worker() -> None:
     spark.stop()
 
 
-def _run_scaling_procs(levels: list[str]) -> None:
+def _scaling_proc_results(levels: list[str],
+                          scale_rows: int | None = None) -> tuple[dict, float]:
     """Strong-scaling over emulated executors: the SAME input (SCALE_ROWS
     synthetic pages) split across N vs 4N single-core executor
     processes; all workers warm up, hit a barrier, then run together —
-    wall time = slowest worker."""
+    wall time = slowest worker. Returns (per-level results, efficiency)."""
     import tempfile
 
+    scale_rows = scale_rows or SCALE_ROWS
     results = {}
     for n in levels:
         n_workers = int(n)
@@ -206,7 +208,7 @@ def _run_scaling_procs(levels: list[str]) -> None:
             env = dict(
                 os.environ,
                 SG_WORKER_IDX=str(i), SG_N_WORKERS=str(n), SG_BARRIER=barrier,
-                SG_OUT=out_path,
+                SG_OUT=out_path, SPARK_GRAFT_SCALE_ROWS=str(scale_rows),
             )
             cmd = [sys.executable, os.path.abspath(__file__), "--scaling-exec"]
             # pin each emulated executor to exactly ONE core: unpinned,
@@ -238,17 +240,23 @@ def _run_scaling_procs(levels: list[str]) -> None:
         results[n] = {
             "executors": n_workers,
             "wall_sec": round(wall, 3),
-            "pages_per_sec": round(SCALE_ROWS / wall),
+            "pages_per_sec": round(scale_rows / wall),
             "per_worker_sec": [round(w, 3) for w in sorted(walls)],
             "loadavg": [round(v, 1) for v in os.getloadavg()],
         }
     lo, hi = levels[0], levels[-1]
     eff = (results[lo]["wall_sec"] / results[hi]["wall_sec"]) / (int(hi) / int(lo))
+    return results, round(eff, 3)
+
+
+def _run_scaling_procs(levels: list[str]) -> None:
+    results, eff = _scaling_proc_results(levels)
     print(json.dumps({
         "metric": "scaling efficiency %s→%s single-core executor processes, "
                   "flagship pipeline over %d synthetic pages (strong scaling, "
-                  "shared input, barrier-synchronized)" % (lo, hi, SCALE_ROWS),
-        "value": round(eff, 3),
+                  "shared input, barrier-synchronized)" % (
+                      levels[0], levels[-1], SCALE_ROWS),
+        "value": eff,
         "unit": "efficiency",
         "n_pages": SCALE_ROWS,
         "levels": results,
@@ -448,13 +456,29 @@ def _run_suite(names: list[str]) -> dict:
     ).save()
 
     n_pages = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    # Per-query MIN over reps with the load average recorded per rep:
+    # the host is shared with external tenants (BASELINE.md §load), so
+    # a single-shot timing conflates plan cost with tenant noise — the
+    # minimum is the least-polluted estimate, and the loadavg trail
+    # lets the reader judge how contended each rep was.
+    reps = int(os.environ.get("SPARK_GRAFT_SUITE_REPS", 2))
     timings: dict[str, float] = {}
+    rep_detail: dict[str, dict] = {}
     for name in names:
-        t0 = time.perf_counter()
-        registry[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        loadavgs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            registry[name](spark, SF_DIR).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+            loadavgs.append(round(os.getloadavg()[0], 1))
+        timings[name] = round(best, 3)
+        rep_detail[name] = {"min": round(best, 3), "reps": reps,
+                            "loadavg": loadavgs}
     spark.stop()
-    return {"timings": timings, "n_pages": n_pages}
+    return {"timings": timings, "n_pages": n_pages, "rep_detail": rep_detail}
 
 
 def main() -> None:
@@ -544,9 +568,25 @@ def main() -> None:
     # skew demonstration (VERDICT r01 item 8): salted vs unsalted vs AQE
     # on a 10%-hot-cell fixture; separate session, not part of `value`.
     skew = _run_skew()
+    # scaling evidence in the per-round artifact (BASELINE.json
+    # north_rule: two cluster sizes, efficiency ≥ 0.8): N vs 4N
+    # single-core executor processes over a shared synthetic input
+    # (SPARK_GRAFT_EMBED_SCALE_ROWS to shrink for smoke tests).
+    scaling: dict | None = None
+    try:
+        levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")
+        srows = int(os.environ.get("SPARK_GRAFT_EMBED_SCALE_ROWS", SCALE_ROWS))
+        lv, eff = _scaling_proc_results(levels, srows)
+        scaling = {"levels": lv, "efficiency": eff, "n_pages": srows,
+                   "protocol": "%s vs %s taskset-pinned single-core executor "
+                               "processes, shared input, barrier-synchronized"
+                               % (levels[0], levels[-1])}
+    except Exception as ex:  # scaling evidence is additive, never fatal
+        scaling = {"error": str(ex)[:200]}
     print(json.dumps({
         "metric": "headline suite wall time (spatial join + tiling + "
-                  "training-data ops), local[%s]" % CPUS,
+                  "training-data ops), local[%s], min of %s reps/query" % (
+                      CPUS, os.environ.get("SPARK_GRAFT_SUITE_REPS", 2)),
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -554,10 +594,12 @@ def main() -> None:
         "n_pages": n_pages,
         "pages_per_sec": round(3 * n_pages / flagship) if flagship else None,
         "queries_extended": ext,
+        "query_reps": res["rep_detail"],
         "skew": skew,
         "skew_speedup_vs_unsalted": round(
             skew["skew_join_unsalted_noaqe"] / skew["skew_join_salted"], 2
         ),
+        "scaling": scaling,
     }))
 
 
