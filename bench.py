@@ -69,6 +69,7 @@ EXTENDED = [
     "cosine_neardup_lsh",
     "street_furniture_fuser",
     "ivf_topk",
+    "ivf_kmeans_topk",
 ]
 
 # Queries timed for the scaling ratio: the flagship spatial-join +
@@ -438,6 +439,64 @@ def _run_subquad() -> None:
     }))
 
 
+def _run_ivfrecall() -> None:
+    """IVF recall experiment (VERDICT r02 item 8): on a deterministic
+    CLUSTERED fixture (40 well-separated centers in [-1,1]^64, ±0.1
+    component noise, 20k vectors — the regime where modulo-sampled
+    \"centroids\" lose recall), measure recall@10 vs the brute-force
+    top-10 for (a) the modulo-centroid IVF and (b) the k-means-trained
+    IVF at the same list count and nprobe."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from urban_pointcloud_processing_spark.operators import similarity as S
+    from urban_pointcloud_processing_spark.session import get_spark
+
+    n, n_clusters, cent_mod, query_mod, nprobe = 20_000, 160, 500, 200, 1
+    spark = get_spark(master=f"local[{CPUS}]", app_name="upcp-ivfrecall")
+    # true cluster of each vector, double-mod scrambled so it is NOT
+    # correlated with the modulo centroid sample or the query stride
+    c = (F.col("id") * 2654435761) % 100003 % n_clusters
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda ix: ((((c + 1) * 2654435761 + ix.cast("long") * 40503)
+                         % 2001 - 1000) / 1000.0
+                        + (((F.col("id") + 1) * 2246822519
+                            + ix.cast("long") * 69069) % 2401 - 1200) / 1000.0)
+        ).alias("embedding"),
+    ).localCheckpoint(eager=True)
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    brute = topk_sets(S.cosine_topk(emb, k=10, query_mod=query_mod))
+    modulo = topk_sets(S.ivf_topk(emb, 10, query_mod, cent_mod, nprobe))
+    trained = topk_sets(S.ivf_kmeans_topk(emb, 10, query_mod, cent_mod,
+                                          nprobe, iters=3))
+
+    def recall(approx):
+        vals = [len(approx.get(q, set()) & s) / len(s)
+                for q, s in brute.items()]
+        return round(sum(vals) / len(vals), 4)
+
+    spark.stop()
+    print(json.dumps({
+        "metric": "IVF recall@10 vs brute force, clustered fixture "
+                  "(%d vectors, %d true clusters, %d lists, nprobe=%d)"
+                  % (n, n_clusters, n // cent_mod, nprobe),
+        "value": recall(trained),
+        "unit": "recall",
+        "recall_kmeans_ivf": recall(trained),
+        "recall_modulo_ivf": recall(modulo),
+        "n_queries": len(brute),
+    }))
+
+
 def _run_suite(names: list[str]) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from urban_pointcloud_processing_spark import queries as Q
@@ -488,6 +547,10 @@ def main() -> None:
 
     if "--subquad" in sys.argv:
         _run_subquad()
+        return
+
+    if "--ivfrecall" in sys.argv:
+        _run_ivfrecall()
         return
 
     if "--skew" in sys.argv:
