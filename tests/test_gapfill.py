@@ -122,3 +122,34 @@ def test_fill_grid_cubic_reproduces_cubic_polynomial():
     g2 = np.full((1, 12), np.nan)
     g2[0, 0], g2[0, 11] = 0.0, 11.0
     assert np.isnan(fill_grid_cubic(g2, max_gap=6)[0, 5])
+
+
+def test_smoothen_edges_grid():
+    """Reference smoothen_edges semantics (ahn_utils.py:458-508):
+    only NaN cells on the CROSS-dilation border of the data mask are
+    filled, with the 3×3 nanmean; deeper gap cells stay NaN."""
+    import numpy as np
+
+    from urban_pointcloud_processing_spark.operators.gapfill import (
+        smoothen_edges_grid,
+    )
+
+    g = np.full((7, 7), 10.0)
+    g[1:6, 1:6] = np.nan  # 5x5 gap; center (3,3) is 2 away from data
+    out = smoothen_edges_grid(g, thickness=1)
+    # border ring of the gap (Manhattan distance 1 from data) filled
+    assert out[1, 1] == 10.0 and out[1, 3] == 10.0
+    # interior of the gap untouched
+    assert np.isnan(out[3, 3]) and np.isnan(out[2, 3])
+    # corner (2,2) is diagonal to data only -> Manhattan distance 2,
+    # NOT on the cross-dilation border
+    assert np.isnan(out[2, 2])
+    # thickness=2 widens the edge set, but the 3×3 nanmean footprint
+    # sees no data from ring-2 cells — they stay NaN, faithfully
+    # mirroring the reference (its TODO: thickness > 2 would need a
+    # bigger footprint; same already true for the ring-2 cells here)
+    out2 = smoothen_edges_grid(g, thickness=2)
+    assert np.isnan(out2[2, 2]) and np.isnan(out2[3, 3])
+    assert out2[1, 1] == 10.0  # ring-1 still filled
+    # valid cells never modified
+    assert (out[~np.isnan(g)] == g[~np.isnan(g)]).all()

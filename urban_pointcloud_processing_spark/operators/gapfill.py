@@ -182,6 +182,81 @@ def fill_grid_centi_round1(grid: np.ndarray) -> np.ndarray:
     return g
 
 
+def smoothen_edges_grid(grid: np.ndarray, thickness: int = 1) -> np.ndarray:
+    """Edge smoothing around raster gaps (reference ahn_utils.py:
+    458-508 smoothen_edges): the gap border — NaN cells reached by
+    `thickness` iterations of CROSS (4-neighbor) dilation of the valid
+    mask, i.e. Manhattan distance ≤ thickness from data — is filled
+    with the 3×3 nanmean of the surrounding cells. 'Pads' the surface
+    around gaps so small holes near buildings don't stay unlabelled.
+
+    Exact arithmetic for centi-valued grids: neighbor sums use
+    round(z·100) integers (order-free in float64), mirroring the SQL
+    oracle bit-for-bit."""
+    g = grid.astype(np.float64, copy=True)
+    mask = ~np.isnan(g)
+    dil = mask.copy()
+    for _ in range(thickness):
+        padded = np.pad(dil, 1, constant_values=False)
+        acc = dil.copy()
+        for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            acc |= padded[1 + dx: 1 + dx + g.shape[0],
+                          1 + dy: 1 + dy + g.shape[1]]
+        dil = acc
+    edges = dil & ~mask
+    gi = np.round(g * 100.0)
+    padded = np.pad(gi, 1, constant_values=np.nan)
+    stacks = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue  # center is NaN on edge cells — nanmean skips it
+            stacks.append(padded[1 + dx: 1 + dx + g.shape[0],
+                                 1 + dy: 1 + dy + g.shape[1]])
+    neigh = np.stack(stacks)
+    counts = np.sum(~np.isnan(neigh), axis=0)
+    sums = np.nansum(neigh, axis=0)
+    fillable = edges & (counts > 0)
+    g[fillable] = sums[fillable] / counts[fillable] / 100.0
+    return g
+
+
+def smoothen_building_edges(raster: DataFrame,
+                            thickness: int = 1) -> DataFrame:
+    """Grouped-map edge smoothing of the building surface per tile
+    (smoothen_edges_grid); same output contract as the gap fills."""
+
+    def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        gx0, gy0 = int(pdf["gx"].min()), int(pdf["gy"].min())
+        nx = int(pdf["gx"].max()) - gx0 + 1
+        ny = int(pdf["gy"].max()) - gy0 + 1
+        grid = np.full((nx, ny), np.nan)
+        ix = pdf["gx"].to_numpy(dtype=int) - gx0
+        iy = pdf["gy"].to_numpy(dtype=int) - gy0
+        vals = pdf["building_z"].to_numpy(dtype=np.float64)
+        grid[ix, iy] = vals
+        was_gap = np.isnan(vals)
+        sm = smoothen_edges_grid(grid, thickness)
+        out_vals = sm[ix, iy]
+        return pd.DataFrame(
+            {
+                "tilecode": pdf["tilecode"],
+                "gx": pdf["gx"].astype("int64"),
+                "gy": pdf["gy"].astype("int64"),
+                "building_z": out_vals,
+                "was_gap": was_gap,
+                "filled": was_gap & ~np.isnan(out_vals),
+            }
+        )
+
+    return raster.select(
+        "tilecode",
+        F.col("gx").cast("long").alias("gx"),
+        F.col("gy").cast("long").alias("gy"),
+        "building_z",
+    ).groupBy("tilecode").applyInPandas(per_tile, schema=FILLED_SCHEMA)
+
+
 def fill_building_gaps(raster: DataFrame, max_rounds: int = 2,
                        exact_centi: bool = False) -> DataFrame:
     """Grouped-map gap fill of the building surface per tile.
@@ -285,6 +360,36 @@ SELECT r.tilecode, r.gx, r.gy,
        (r.building_z IS NULL AND e.est IS NOT NULL) AS filled
 FROM raster r LEFT JOIN est e ON e.gx = r.gx AND e.gy = r.gy
 """
+
+
+def smoothen_edges_sql(raster_cte: str, thickness: int = 1) -> str:
+    """smoothen_edges oracle: fill NULL cells at Manhattan distance ≤
+    thickness from valid data (the iterated-cross-dilation border) with
+    the 8-neighbor centi-exact mean — mirrors smoothen_edges_grid."""
+    est = f"""
+edge AS (
+  SELECT r.gx, r.gy, r.tilecode
+  FROM raster r
+  WHERE r.building_z IS NULL AND EXISTS (
+    SELECT 1 FROM raster v
+    WHERE v.tilecode = r.tilecode AND v.building_z IS NOT NULL
+      AND abs(v.gx - r.gx) + abs(v.gy - r.gy) <= {thickness}
+  )
+),
+nb AS (
+  SELECT a.gx, a.gy,
+         CAST(round(b.building_z * 100.0) AS BIGINT) AS nz_c
+  FROM edge a JOIN raster b
+    ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+   AND NOT (a.gx = b.gx AND a.gy = b.gy)
+   AND a.tilecode = b.tilecode
+  WHERE b.building_z IS NOT NULL
+),
+est AS (
+  SELECT gx, gy, CAST(SUM(nz_c) AS DOUBLE) / COUNT(*) / 100.0 AS est
+  FROM nb GROUP BY gx, gy
+)"""
+    return _fill_out_sql(raster_cte, est.strip())
 
 
 def fill_gaps_sql(raster_cte: str) -> str:

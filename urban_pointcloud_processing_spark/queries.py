@@ -829,6 +829,17 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(_embs(spark, sf_dir), 10, 50, 20, 3)
 
 
+@register("ivf_kmeans_topk", S.ivf_kmeans_topk_sql(10, 50, 20, 3, 2))
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 over TRAINED coarse centroids (VERDICT r02 item
+    8): modulo seeds + 2 deterministic Lloyd iterations with exact
+    µ-quantized integer-sum updates, then inverted-list probing
+    (nprobe=3). Value-exact vs the unrolled k-means SQL oracle; recall
+    vs brute force on a clustered fixture measured in
+    `bench.py --ivfrecall`."""
+    return S.ivf_kmeans_topk(_embs(spark, sf_dir), 10, 50, 20, 3, 2)
+
+
 @register("ann_lsh_topk", S.ann_lsh_topk_sql(10, 50))
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN top-10 — candidates from signature-band
@@ -2915,6 +2926,7 @@ def _fill_r6(df: DataFrame) -> DataFrame:
 
 
 from .operators.gapfill import (  # noqa: E402
+    smoothen_edges_sql,
     fill_gaps_cubic_sql,
     fill_gaps_linear_sql,
     fill_gaps_sql,
@@ -2946,6 +2958,19 @@ def q_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.gapfill import fill_building_gaps_linear
 
     return _fill_r6(fill_building_gaps_linear(R.raster_df(spark), max_gap=6))
+
+
+@register("smoothen_edges", smoothen_edges_sql(_RASTER_CTE, 1))
+def q_smoothen_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-border smoothing of the building surface (reference
+    ahn_utils.py:458-508 smoothen_edges): NULL cells on the
+    cross-dilation border of the data mask get the 3×3 nanmean of
+    their neighbors — 'pads' the surface around buildings so nearby
+    points still label. Centi-exact neighbor sums → value-exact SQL
+    oracle; NumPy-oracle test in tests/test_gapfill.py."""
+    from .operators.gapfill import smoothen_building_edges
+
+    return _fill_r6(smoothen_building_edges(R.raster_df(spark), thickness=1))
 
 
 @register("gap_fill_cubic", fill_gaps_cubic_sql(_RASTER_CTE))
