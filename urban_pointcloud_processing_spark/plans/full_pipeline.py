@@ -506,8 +506,23 @@ def _claims_grower(lbl_df: DataFrame, label: int) -> DataFrame:
     )
 
 
+_LBL_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def full_pipeline_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(page_id, label) after the 15-stage first-writer-wins fold."""
+    """(page_id, label) after the 15-stage first-writer-wins fold.
+
+    Memoized per (application, sf_dir): the fold materializes at eager
+    stage-boundary localCheckpoints, so the finished chain is a valid
+    in-session artifact — `pipeline_full_hist` (and any later caller)
+    reuses it instead of recomputing all 15 stages. This is the local
+    analog of the reference pipeline writing each stage's labels back
+    to the tile file (pipeline.py:88-95) and of Iceberg stage tables at
+    cluster scale."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LBL_CACHE.get(key)
+    if cached is not None:
+        return cached
     lbl = (
         _base(spark, sf_dir)
         .withColumn("label", F.lit(0))
@@ -567,7 +582,9 @@ def full_pipeline_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 12-15 building / light / sign / tree growers
     for _, lab in GROWER_STAGES:
         lbl = fold(lbl, _claims_grower(lbl, lab))
-    return lbl.select("page_id", "label")
+    out = lbl.select("page_id", "label")
+    _LBL_CACHE[key] = out
+    return out
 
 
 # ---------------------------------------------------------------------
