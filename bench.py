@@ -70,6 +70,8 @@ EXTENDED = [
     "street_furniture_fuser",
     "ivf_topk",
     "ivf_kmeans_topk",
+    "dedup_clusters",
+    "decontaminate",
 ]
 
 # Queries timed for the scaling ratio: the flagship spatial-join +

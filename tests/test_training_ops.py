@@ -165,3 +165,44 @@ def test_decode_stub_and_media_features(spark):
     assert feats[0]["first_byte"] == ord("a")
     assert feats[0]["byte_mean"] == round((97 + 98 + 99) / 3, 6)
     assert feats[1]["n_bytes"] == 4
+
+
+def test_dedup_clusters_survivors(spark):
+    """Every near-dup pair lands in one cluster; canonical = min id;
+    exactly one survivor per cluster."""
+    from urban_pointcloud_processing_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_dedup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = dedup_clusters(docs, 3, 0.5).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(out) == docs.count()
+    clusters = {}
+    for r in out:
+        clusters.setdefault(r["canonical_id"], []).append(r)
+        assert r["canonical_id"] <= r["doc_id"]
+        assert r["is_survivor"] == (r["doc_id"] == r["canonical_id"])
+    for cid, members in clusters.items():
+        assert sum(r["is_survivor"] for r in members) == 1
+        assert all(r["cluster_size"] == len(members) for r in members)
+    # pair endpoints always share a cluster
+    for p in minhash_lsh_dedup(docs, 3, 0.5).collect():
+        assert (
+            by_id[p["doc_a"]]["canonical_id"]
+            == by_id[p["doc_b"]]["canonical_id"]
+        )
+    assert any(not r["is_survivor"] for r in out)  # non-vacuous
+
+
+def test_decontaminate_excludes_eval_slice(spark):
+    from urban_pointcloud_processing_spark.operators.dedup import decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = decontaminate(docs, 3, 97, 3).collect()
+    assert all(r["doc_id"] % 97 != 0 for r in out)
+    assert len(out) == docs.filter("doc_id % 97 != 0").count()
+    flagged = [r for r in out if r["contaminated"]]
+    assert flagged and all(r["n_hits"] >= 3 for r in flagged)
+    assert all(r["n_hits"] < 3 for r in out if not r["contaminated"])

@@ -485,3 +485,170 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
+
+
+# ----------------------------------------------------------------------
+# Near-dup cluster canonicalization — the step AFTER pair detection in
+# a real dedup pipeline: connected components over the near-dup pair
+# graph, keep the minimal doc per component as the survivor. (The
+# reference's CC machinery re-applied to the dup graph; at web scale
+# this is the standard min-label-propagation CC, rounds bounded by the
+# dup-cluster diameter — near-dup clusters are shallow, and a
+# path-doubling variant would cut rounds to O(log diameter).)
+# ----------------------------------------------------------------------
+
+def graph_components_minlabel(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """(id_col, component) — component = min node id reachable over the
+    symmetrized `pairs` (doc_a, doc_b) edges. Iterative min-label
+    propagation with per-round convergence check; each round is one
+    shuffle on the node key."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lbl = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nb = (
+            edges.join(lbl, edges["s"] == lbl["id"])
+            .groupBy(F.col("d").alias("id2"))
+            .agg(F.min("comp").alias("_nb"))
+        )
+        new = (
+            lbl.join(nb, lbl["id"] == nb["id2"], "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("_nb"), F.col("comp")))
+                .alias("comp"),
+                (F.col("_nb").isNotNull() & (F.col("_nb") < F.col("comp")))
+                .alias("_chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new.filter(F.col("_chg")).limit(1).count()
+        lbl = new.drop("_chg")
+        if changed == 0:
+            break
+    return lbl.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
+
+
+def dedup_clusters(docs: DataFrame, n: int = 3,
+                   threshold: float = 0.5) -> DataFrame:
+    """(doc_id, canonical_id, cluster_size, is_survivor) — survivor
+    selection over the MinHash+LSH near-dup pair graph: CC by min-label
+    propagation, canonical = min doc_id per component, singletons keep
+    themselves."""
+    pairs = minhash_lsh_dedup(docs, n, threshold).localCheckpoint(eager=True)
+    # only docs that appear in a pair need propagation — singletons are
+    # trivially their own component, so the iterative CC runs on the
+    # (tiny) dup subgraph, not the corpus
+    paired = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    comp_paired = graph_components_minlabel(pairs, paired)
+    singles = (
+        docs.select("doc_id")
+        .join(paired, "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("component"))
+    )
+    comp = comp_paired.unionByName(singles)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            "doc_id",
+            F.col("component").alias("canonical_id"),
+            "cluster_size",
+            (F.col("doc_id") == F.col("component")).alias("is_survivor"),
+        )
+    )
+
+
+def dedup_clusters_sql(n: int = 3, threshold: float = 0.5) -> str:
+    """Reachability-CC oracle over the same LSH pair query."""
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({minhash_lsh_sql(n, threshold).strip()}),
+nodes AS (SELECT doc_id FROM documents),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.node
+),
+comp AS (SELECT src AS doc_id, MIN(node) AS canonical_id
+         FROM reach GROUP BY src),
+sizes AS (SELECT canonical_id, COUNT(*) AS cluster_size
+          FROM comp GROUP BY canonical_id)
+SELECT c.doc_id, c.canonical_id, s.cluster_size,
+       c.doc_id = c.canonical_id AS is_survivor
+FROM comp c JOIN sizes s ON s.canonical_id = c.canonical_id
+"""
+
+
+# ----------------------------------------------------------------------
+# Benchmark decontamination — flag training documents that share ≥
+# min_hits distinct n-gram shingles with a held-out eval slice (the
+# standard n-gram-overlap contamination check run before training).
+# The eval set here is the deterministic doc_id % bench_mod == 0 slice
+# of the corpus; in production it is the benchmark suite's text,
+# broadcast exactly the same way (eval sets are tiny vs the corpus).
+# ----------------------------------------------------------------------
+
+def decontaminate(docs: DataFrame, n: int = 3, bench_mod: int = 97,
+                  min_hits: int = 3) -> DataFrame:
+    """(doc_id, n_hits, contaminated) for every TRAINING doc (not in
+    the eval slice): n_hits = distinct n-gram shingles shared with any
+    eval doc. Shuffle-free on the eval side: the distinct eval shingle
+    set broadcasts."""
+    sh = shingle_table(docs, n)
+    bench_sids = (
+        sh.filter(F.col("doc_id") % bench_mod == 0)
+        .select("sid").distinct()
+    )
+    train_sh = sh.filter(F.col("doc_id") % bench_mod != 0)
+    hits = (
+        train_sh.join(F.broadcast(bench_sids), "sid")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sid").alias("n_hits"))
+    )
+    return (
+        docs.filter(F.col("doc_id") % bench_mod != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits)
+            .alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_sql(n: int = 3, bench_mod: int = 97,
+                      min_hits: int = 3) -> str:
+    return f"""
+WITH {shingle_cte_sql(n)},
+bench AS (SELECT DISTINCT sid FROM shingles WHERE doc_id % {bench_mod} = 0),
+hits AS (
+  SELECT s.doc_id, COUNT(DISTINCT s.sid) AS n_hits
+  FROM shingles s JOIN bench b ON b.sid = s.sid
+  WHERE s.doc_id % {bench_mod} != 0
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) >= {min_hits} AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % {bench_mod} != 0
+"""

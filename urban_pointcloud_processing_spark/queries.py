@@ -777,6 +777,25 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup(_docs(spark, sf_dir), 3, 0.5)
 
 
+@register("dedup_clusters", D.dedup_clusters_sql(3, 0.5))
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection — the step AFTER near-dup pair detection:
+    connected components over the MinHash+LSH pair graph (min-label
+    propagation, one shuffle per round, rounds = dup-cluster diameter),
+    canonical = min doc_id per cluster. Every doc gets a row;
+    singletons survive as their own canonical."""
+    return D.dedup_clusters(_docs(spark, sf_dir), 3, 0.5)
+
+
+@register("decontaminate", D.decontaminate_sql(3, 97, 3))
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ≥3
+    distinct word-3-gram shingles with the held-out eval slice
+    (doc_id % 97 == 0). The eval shingle set broadcasts — the corpus
+    is scanned once, no shuffle grows with the eval side."""
+    return D.decontaminate(_docs(spark, sf_dir), 3, 97, 3)
+
+
 @register("simhash", D.simhash_sql())
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (token-multiplicity weighted)."""
