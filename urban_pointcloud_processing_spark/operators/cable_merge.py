@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
 
 def _principal(xy: np.ndarray) -> np.ndarray:
@@ -370,30 +370,153 @@ def merge_cables_cc(clustered: DataFrame,
                     cluster_col: str = "cluster_id",
                     max_gap: float = 10.0) -> DataFrame:
     """(cluster_id, merged_id) via the order-independent pairwise-CC
-    variant — single grouped-map (clusters per tile are few)."""
-    schema = StructType(
+    variant, FULLY DISTRIBUTED (no all-points-in-one-task group):
+
+    1. per-cluster geometry (principal direction + lex-extreme
+       endpoints) as ONE distributed aggregation — moments are exact
+       decimal(38,0) integer sums, matching the oracle's HUGEINT and
+       the Python kernel's bigints bit-for-bit after the single
+       cast-to-double;
+    2. candidate pairs from a self-join of the small geometry table
+       with the angle + endpoint-gap gates (bucket by endpoint cell if
+       the cluster count itself outgrows a broadcast);
+    3. the small-sag curve gate per CANDIDATE PAIR as a grouped map
+       over (ca, cb) — each task sees exactly two clusters' points,
+       never the corpus (the exact-integer kernel is summation-order
+       independent, so distribution order cannot change the verdict);
+    4. CC over passing pairs by min-label propagation.
+
+    Gate arithmetic is identical to merge_clusters_pairwise_cc (which
+    remains the single-machine kernel used by the unit tests), so the
+    recursive-CTE oracle is unchanged."""
+    from .dedup import graph_components_minlabel
+
+    cos2 = _cos2(MERGE_MAX_ANGLE_DEG)
+    gap_mm2 = int(round(max_gap * 1000.0)) ** 2
+
+    def mm(c: str):
+        return F.round(F.col(c) * 1000.0).cast("long")
+
+    pts = clustered.select(
+        F.col(cluster_col).alias("cid"),
+        mm("x").alias("xm"), mm("y").alias("ym"), mm("z").alias("zm"),
+    ).localCheckpoint(eager=True)
+    mins = pts.groupBy("cid").agg(
+        F.min("xm").alias("x0"), F.min("ym").alias("y0"),
+        F.count("*").alias("n"),
+    )
+    dx = (F.col("xm") - F.col("x0")).cast("decimal(38,0)")
+    dy = (F.col("ym") - F.col("y0")).cast("decimal(38,0)")
+    moms = (
+        pts.join(mins, "cid")
+        .groupBy("cid", "n", "x0", "y0")
+        .agg(
+            F.sum(dx).alias("sx"), F.sum(dy).alias("sy"),
+            F.sum(dx * dx).alias("sxx"), F.sum(dy * dy).alias("syy"),
+            F.sum(dx * dy).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    cxx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    cyy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    cxy = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    cov = moms.select("cid", "x0", "y0", cxx.alias("cxx"),
+                      cyy.alias("cyy"), cxy.alias("cxy"))
+    lam = (
+        (F.col("cxx") + F.col("cyy"))
+        + F.sqrt(
+            (F.col("cxx") - F.col("cyy")) * (F.col("cxx") - F.col("cyy"))
+            + F.lit(4.0) * F.col("cxy") * F.col("cxy")
+        )
+    ) / F.lit(2.0)
+    vx = F.when(F.col("cxy") == 0.0,
+                F.when(F.col("cxx") >= F.col("cyy"), F.lit(1.0))
+                .otherwise(F.lit(0.0))).otherwise(F.col("cxy"))
+    vy = F.when(F.col("cxy") == 0.0,
+                F.when(F.col("cxx") >= F.col("cyy"), F.lit(0.0))
+                .otherwise(F.lit(1.0))).otherwise(lam - F.col("cxx"))
+    dirs = cov.select("cid", "x0", "y0", vx.alias("vx"), vy.alias("vy"))
+    t = (
+        F.col("vx") * (F.col("xm") - F.col("x0")).cast("double")
+        + F.col("vy") * (F.col("ym") - F.col("y0")).cast("double")
+    )
+    geom = (
+        pts.join(dirs, "cid")
+        .groupBy("cid")
+        .agg(
+            F.first("vx").alias("vx"), F.first("vy").alias("vy"),
+            F.min(F.struct(t.alias("t"), F.col("xm"), F.col("ym")))
+            .alias("emin"),
+            F.max(F.struct(t.alias("t"), F.col("xm"), F.col("ym")))
+            .alias("emax"),
+        )
+        .select(
+            "cid", "vx", "vy",
+            F.col("emin.xm").alias("axm"), F.col("emin.ym").alias("aym"),
+            F.col("emax.xm").alias("bxm"), F.col("emax.ym").alias("bym"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = geom.alias("a")
+    b = geom.alias("b")
+    dot = F.col("a.vx") * F.col("b.vx") + F.col("a.vy") * F.col("b.vy")
+    na2 = F.col("a.vx") * F.col("a.vx") + F.col("a.vy") * F.col("a.vy")
+    nb2 = F.col("b.vx") * F.col("b.vx") + F.col("b.vy") * F.col("b.vy")
+
+    def seg2(pxa, pya, pxb, pyb):
+        ddx = F.col(f"a.{pxa}") - F.col(f"b.{pxb}")
+        ddy = F.col(f"a.{pya}") - F.col(f"b.{pyb}")
+        return ddx * ddx + ddy * ddy
+
+    gap2 = F.least(
+        seg2("axm", "aym", "axm", "aym"), seg2("axm", "aym", "bxm", "bym"),
+        seg2("bxm", "bym", "axm", "aym"), seg2("bxm", "bym", "bxm", "bym"),
+    )
+    cand = (
+        a.join(F.broadcast(b), F.col("a.cid") < F.col("b.cid"))
+        .filter(dot * dot >= F.lit(cos2) * (na2 * nb2))
+        .filter(gap2 <= F.lit(gap_mm2))
+        .select(F.col("a.cid").alias("ca"), F.col("b.cid").alias("cb"))
+    )
+    pair_pts = (
+        cand.select(
+            "ca", "cb",
+            F.explode(F.array(F.col("ca"), F.col("cb"))).alias("cid"),
+        )
+        .join(pts, "cid")
+        .select("ca", "cb", "xm", "ym", "zm")
+    )
+    ok_schema = StructType(
         [
-            StructField("cluster_id", LongType()),
-            StructField("merged_id", LongType()),
+            StructField("ca", LongType()),
+            StructField("cb", LongType()),
+            StructField("ok", BooleanType()),
         ]
     )
 
-    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = [
-            (int(c), int(round(x * 1000.0)), int(round(y * 1000.0)),
-             int(round(z * 1000.0)))
-            for c, x, y, z in zip(pdf[cluster_col], pdf["x"], pdf["y"],
-                                  pdf["z"])
+    def curve_gate(pdf: pd.DataFrame) -> pd.DataFrame:
+        combined = [
+            (int(x), int(y), int(z))
+            for x, y, z in zip(pdf["xm"], pdf["ym"], pdf["zm"])
         ]
-        mapping = merge_clusters_pairwise_cc(
-            rows, max_gap_mm2=int(round(max_gap * 1000.0)) ** 2
-        )
         return pd.DataFrame(
-            {"cluster_id": list(mapping), "merged_id": list(mapping.values())}
+            {
+                "ca": [int(pdf["ca"].iloc[0])],
+                "cb": [int(pdf["cb"].iloc[0])],
+                "ok": [_pair_curve_ok(combined)],
+            }
         )
 
-    return (
-        clustered.withColumn("_g", F.lit(0))
-        .groupBy("_g")
-        .applyInPandas(per_group, schema=schema)
+    passing = (
+        pair_pts.groupBy("ca", "cb")
+        .applyInPandas(curve_gate, schema=ok_schema)
+        .filter(F.col("ok"))
+        .select(F.col("ca").alias("doc_a"), F.col("cb").alias("doc_b"))
+    )
+    comp = graph_components_minlabel(
+        passing, geom.select(F.col("cid").alias("doc_id"))
+    )
+    return comp.select(
+        F.col("doc_id").alias("cluster_id"),
+        F.col("component").alias("merged_id"),
     )
