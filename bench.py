@@ -470,11 +470,12 @@ def _run_subquad() -> None:
 
 def _run_ivfrecall() -> None:
     """IVF recall experiment (VERDICT r02 item 8): on a deterministic
-    CLUSTERED fixture (40 well-separated centers in [-1,1]^64, ±0.1
-    component noise, 20k vectors — the regime where modulo-sampled
-    \"centroids\" lose recall), measure recall@10 vs the brute-force
-    top-10 for (a) the modulo-centroid IVF and (b) the k-means-trained
-    IVF at the same list count and nprobe."""
+    CLUSTERED fixture (160 centers in [-1,1]^64 vs only 40 inverted
+    lists, ±1.2 component noise, 20k vectors, nprobe=1 — the hard
+    regime where each list must merge several true clusters and
+    modulo-sampled \"centroids\" slice through them), measure recall@10
+    vs the brute-force top-10 for (a) the modulo-centroid IVF and (b)
+    the k-means-trained IVF at the same list count and nprobe."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pyspark.sql import functions as F
 

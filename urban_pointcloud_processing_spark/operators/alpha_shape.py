@@ -289,12 +289,19 @@ def cluster_alpha_shape(
             )
         k = len(loops)
         areas = [_loop_area(idx, pts) for _, idx in loops]
-        testv = [min(idx) for _, idx in loops]
         inside = [[False] * k for _ in range(k)]  # inside[i][j]: i ⊇ j
         for i in range(k):
+            vs_i = set(loops[i][1])
             for j in range(k):
                 if i != j:
-                    wx, wy = pts[testv[j]]
+                    # probe with j's min vertex NOT shared with i —
+                    # loops touching at a pinch vertex would otherwise
+                    # probe a point ON i's boundary and misclassify a
+                    # sibling lobe as a hole (fallback: plain min —
+                    # both engines compute the identical choice)
+                    cand = [v for v in loops[j][1] if v not in vs_i]
+                    tv = min(cand) if cand else min(loops[j][1])
+                    wx, wy = pts[tv]
                     inside[i][j] = _loop_contains(loops[i][1], pts, wx, wy)
         depth = [sum(inside[i][j] for i in range(k) if i != j)
                  for j in range(k)]
@@ -311,6 +318,11 @@ def cluster_alpha_shape(
             rows.append(
                 (comp, len(rows), int(len(loops[i][1])), round(net, 6),
                  n_holes, False)
+            )
+        if not rows:  # pathological: every loop judged contained —
+            # mirror the oracle's sentinel fallback instead of crashing
+            return pd.DataFrame(
+                [(comp, -1, int(len(pdf)), 0.0, 0, False)], columns=cols
             )
         big = min(range(len(rows)), key=lambda r: (-rows[r][3], r))
         rows[big] = rows[big][:5] + (True,)

@@ -501,12 +501,15 @@ def graph_components_minlabel(
     pairs: DataFrame,
     nodes: DataFrame,
     id_col: str = "doc_id",
-    max_rounds: int = 20,
+    max_rounds: int = 50,
 ) -> DataFrame:
     """(id_col, component) — component = min node id reachable over the
     symmetrized `pairs` (doc_a, doc_b) edges. Iterative min-label
     propagation with per-round convergence check; each round is one
-    shuffle on the node key."""
+    shuffle on the node key. FAILS LOUDLY if the graph diameter
+    exceeds max_rounds (silently-partial components would emit extra
+    'survivors' and break the oracle) — dup chains deeper than 50
+    need the path-doubling variant, not a bigger cap."""
     edges = (
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
         .unionByName(
@@ -538,6 +541,12 @@ def graph_components_minlabel(
         lbl = new.drop("_chg")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"min-label CC did not converge in {max_rounds} rounds — "
+            "dup-graph diameter exceeds the cap; refusing to emit "
+            "partial components"
+        )
     return lbl.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
 
 

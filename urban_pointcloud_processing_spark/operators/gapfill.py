@@ -221,10 +221,12 @@ def smoothen_edges_grid(grid: np.ndarray, thickness: int = 1) -> np.ndarray:
     return g
 
 
-def smoothen_building_edges(raster: DataFrame,
-                            thickness: int = 1) -> DataFrame:
-    """Grouped-map edge smoothing of the building surface per tile
-    (smoothen_edges_grid); same output contract as the gap fills."""
+def grouped_grid_fill(raster: DataFrame, grid_fn) -> DataFrame:
+    """Shared per-tile grouped-map plumbing for every grid→grid fill
+    variant: scatter the tile's (gx, gy, building_z) rows into a dense
+    NaN-padded grid, apply ``grid_fn``, gather back with was_gap/filled
+    flags. ONE definition so a parity-affecting change to the grid
+    construction can never drift between variants."""
 
     def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
         gx0, gy0 = int(pdf["gx"].min()), int(pdf["gy"].min())
@@ -236,8 +238,7 @@ def smoothen_building_edges(raster: DataFrame,
         vals = pdf["building_z"].to_numpy(dtype=np.float64)
         grid[ix, iy] = vals
         was_gap = np.isnan(vals)
-        sm = smoothen_edges_grid(grid, thickness)
-        out_vals = sm[ix, iy]
+        out_vals = grid_fn(grid)[ix, iy]
         return pd.DataFrame(
             {
                 "tilecode": pdf["tilecode"],
@@ -255,6 +256,15 @@ def smoothen_building_edges(raster: DataFrame,
         F.col("gy").cast("long").alias("gy"),
         "building_z",
     ).groupBy("tilecode").applyInPandas(per_tile, schema=FILLED_SCHEMA)
+
+
+def smoothen_building_edges(raster: DataFrame,
+                            thickness: int = 1) -> DataFrame:
+    """Grouped-map edge smoothing of the building surface per tile
+    (smoothen_edges_grid); same output contract as the gap fills."""
+    return grouped_grid_fill(
+        raster, lambda g: smoothen_edges_grid(g, thickness)
+    )
 
 
 def fill_building_gaps(raster: DataFrame, max_rounds: int = 2,
@@ -264,73 +274,16 @@ def fill_building_gaps(raster: DataFrame, max_rounds: int = 2,
     order-independent integer-sum round (fill_grid_centi_round1)."""
     if exact_centi and max_rounds != 1:
         raise ValueError("exact_centi fill is single-round")
-
-    def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
-        gx0, gy0 = int(pdf["gx"].min()), int(pdf["gy"].min())
-        nx = int(pdf["gx"].max()) - gx0 + 1
-        ny = int(pdf["gy"].max()) - gy0 + 1
-        grid = np.full((nx, ny), np.nan)
-        ix = pdf["gx"].to_numpy(dtype=int) - gx0
-        iy = pdf["gy"].to_numpy(dtype=int) - gy0
-        vals = pdf["building_z"].to_numpy(dtype=np.float64)
-        grid[ix, iy] = vals
-        was_gap = np.isnan(vals)
-        filled_grid = (
-            fill_grid_centi_round1(grid) if exact_centi
-            else fill_grid(grid, max_rounds)
-        )
-        out_vals = filled_grid[ix, iy]
-        return pd.DataFrame(
-            {
-                "tilecode": pdf["tilecode"],
-                "gx": pdf["gx"].astype("int64"),
-                "gy": pdf["gy"].astype("int64"),
-                "building_z": out_vals,
-                "was_gap": was_gap,
-                "filled": was_gap & ~np.isnan(out_vals),
-            }
-        )
-
-    return raster.select(
-        "tilecode",
-        F.col("gx").cast("long").alias("gx"),
-        F.col("gy").cast("long").alias("gy"),
-        "building_z",
-    ).groupBy("tilecode").applyInPandas(per_tile, schema=FILLED_SCHEMA)
+    return grouped_grid_fill(
+        raster,
+        fill_grid_centi_round1 if exact_centi
+        else (lambda g: fill_grid(g, max_rounds)),
+    )
 
 
 def fill_building_gaps_linear(raster: DataFrame, max_gap: int = 6) -> DataFrame:
     """Grouped-map LINEAR gap fill per tile (fill_grid_linear)."""
-
-    def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
-        gx0, gy0 = int(pdf["gx"].min()), int(pdf["gy"].min())
-        nx = int(pdf["gx"].max()) - gx0 + 1
-        ny = int(pdf["gy"].max()) - gy0 + 1
-        grid = np.full((nx, ny), np.nan)
-        ix = pdf["gx"].to_numpy(dtype=int) - gx0
-        iy = pdf["gy"].to_numpy(dtype=int) - gy0
-        vals = pdf["building_z"].to_numpy(dtype=np.float64)
-        grid[ix, iy] = vals
-        was_gap = np.isnan(vals)
-        filled_grid = fill_grid_linear(grid, max_gap)
-        out_vals = filled_grid[ix, iy]
-        return pd.DataFrame(
-            {
-                "tilecode": pdf["tilecode"],
-                "gx": pdf["gx"].astype("int64"),
-                "gy": pdf["gy"].astype("int64"),
-                "building_z": out_vals,
-                "was_gap": was_gap,
-                "filled": was_gap & ~np.isnan(out_vals),
-            }
-        )
-
-    return raster.select(
-        "tilecode",
-        F.col("gx").cast("long").alias("gx"),
-        F.col("gy").cast("long").alias("gy"),
-        "building_z",
-    ).groupBy("tilecode").applyInPandas(per_tile, schema=FILLED_SCHEMA)
+    return grouped_grid_fill(raster, lambda g: fill_grid_linear(g, max_gap))
 
 
 # ----------------------------------------------------------------------

@@ -317,25 +317,75 @@ MBR_EXACT_SCHEMA = StructType(
 )
 
 
+def _boundary_pts(q: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Convex-hull BOUNDARY points (vertices + collinear on-edge
+    points) of the lex-sorted distinct integer points `q` — the only
+    candidates for MBR directions (the optimum aligns with a hull
+    edge, and only boundary-point pairs can be side-consistent).
+    O(n log n) hull + O(n·h) edge membership; exact integer
+    predicates."""
+    n = len(q)
+    if n <= 3:
+        return list(q)
+
+    def half(pts):
+        out = []
+        for p in pts:
+            while len(out) >= 2 and (
+                (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+            ) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(q)
+    upper = half(q[::-1])
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 3:
+        return list(q)  # fully collinear: every point is boundary
+    bset = set()
+    h = len(hull)
+    for k in range(h):
+        a, b = hull[k], hull[(k + 1) % h]
+        ex, ey = b[0] - a[0], b[1] - a[1]
+        for p in q:
+            if ex * (p[1] - a[1]) - ey * (p[0] - a[0]) == 0 and (
+                min(a[0], b[0]) <= p[0] <= max(a[0], b[0])
+                and min(a[1], b[1]) <= p[1] <= max(a[1], b[1])
+            ):
+                bset.add(p)
+    return sorted(bset)
+
+
 def mbr_exact_rows(pts_mm: list[tuple[int, int]]) -> tuple:
     """(area, len_sq, wid_sq, center_x, center_y) in m²/m from exact
-    mm-integer points — the fixed-formula pair search."""
+    mm-integer points — the fixed-formula pair search over
+    SIDE-CONSISTENT boundary pairs (all points on one side of the
+    pair's line: min/max cross equals the pair's own cross). The
+    optimum is hull-edge aligned, so restricting candidates keeps the
+    minimum while cutting the search from O(n³) to O(h²·n); the SQL
+    oracle applies the identical side-consistency predicate."""
     uniq = sorted(set(pts_mm))
     x0 = min(p[0] for p in uniq)
     y0 = min(p[1] for p in uniq)
     q = [(p[0] - x0, p[1] - y0) for p in uniq]
     if len(q) == 1:
         return (0.0, 0.0, 0.0, x0 / 1000.0, y0 / 1000.0)
+    bd = _boundary_pts(q)
     best = None
-    for i in range(len(q)):
-        for j in range(i + 1, len(q)):
-            p1, p2 = q[i], q[j]
+    for i in range(len(bd)):
+        for j in range(i + 1, len(bd)):
+            p1, p2 = bd[i], bd[j]
             ex, ey = p2[0] - p1[0], p2[1] - p1[1]
             e2 = ex * ex + ey * ey
             if e2 == 0:
                 continue
             dots = [u[0] * ex + u[1] * ey for u in q]
             crss = [u[0] * ey - u[1] * ex for u in q]
+            ca = p1[0] * ey - p1[1] * ex
+            if min(crss) != ca and max(crss) != ca:
+                continue  # points on both sides — not an MBR direction
             adot = max(dots) - min(dots)
             acrs = max(crss) - min(crss)
             e2d = float(e2)
@@ -386,25 +436,29 @@ def cluster_mbr_exact(with_comp: DataFrame,
 
 def _mbr_exact_corners(pts_mm: list[tuple[int, int]]):
     """MBR corner ring (4×(x, y) metres, order (dmin,cmin)→(dmax,cmin)→
-    (dmax,cmax)→(dmin,cmax)) from the exact pair-direction search —
-    same best pick as mbr_exact_rows; None when no non-degenerate
-    direction exists."""
+    (dmax,cmax)→(dmin,cmax)) from the exact pair-direction search over
+    side-consistent boundary pairs (see mbr_exact_rows) — None when no
+    non-degenerate direction exists."""
     uniq = sorted(set(pts_mm))
     if len(uniq) < 2:
         return None
     x0 = min(p[0] for p in uniq)
     y0 = min(p[1] for p in uniq)
     q = [(p[0] - x0, p[1] - y0) for p in uniq]
+    bd = _boundary_pts(q)
     best = None
-    for i in range(len(q)):
-        for j in range(i + 1, len(q)):
-            p1, p2 = q[i], q[j]
+    for i in range(len(bd)):
+        for j in range(i + 1, len(bd)):
+            p1, p2 = bd[i], bd[j]
             ex, ey = p2[0] - p1[0], p2[1] - p1[1]
             e2 = ex * ex + ey * ey
             if e2 == 0:
                 continue
             dots = [u[0] * ex + u[1] * ey for u in q]
             crss = [u[0] * ey - u[1] * ex for u in q]
+            ca = p1[0] * ey - p1[1] * ex
+            if min(crss) != ca and max(crss) != ca:
+                continue
             adot = max(dots) - min(dots)
             acrs = max(crss) - min(crss)
             area = float(adot) * float(acrs) / float(e2)

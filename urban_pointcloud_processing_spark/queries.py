@@ -1250,19 +1250,33 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same oracle as `sessionize`). Holds whenever the feed delivers a
     user's events in time order across micro-batches, which the
     single-file fixture drain does."""
+    import glob
+    import hashlib
+    import os
     import shutil
     import tempfile
+    import time as _time
 
     from .streaming.sessionize import run_sessionize_available_now
 
-    # Fixed per-(session, sf) scratch path, cleared at the start of every
-    # invocation so repeated driver/bench runs don't accumulate input
-    # copies + checkpoint/output dirs (ADVICE r02). Keyed on the Spark
-    # app id so concurrent sessions never share a checkpoint dir.
-    tmp = (
-        f"{tempfile.gettempdir()}/upcp_sess_q_"
-        f"{spark.sparkContext.applicationId}_{abs(hash(sf_dir)) % 10**8}"
-    )
+    # Scratch path under a fixed recognizable prefix, cleared at the
+    # start of every invocation so repeated driver/bench runs don't
+    # accumulate input copies + checkpoint/output dirs (ADVICE r02).
+    # Keyed on the Spark app id so concurrent sessions never share a
+    # checkpoint dir; the sf_dir digest is a STABLE hashlib hash (a
+    # salted built-in hash() would make every process's path unique and
+    # the cleanup a no-op). Stale siblings from dead runs (> 1 h old)
+    # are swept too — the app-id key means a *different* process's dir
+    # can never belong to a live run of ours.
+    base = f"{tempfile.gettempdir()}/upcp_sess_q_"
+    for old in glob.glob(base + "*"):
+        try:
+            if _time.time() - os.path.getmtime(old) > 3600:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
+    digest = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    tmp = f"{base}{spark.sparkContext.applicationId}_{digest}"
     shutil.rmtree(tmp, ignore_errors=True)
     events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id", "user_id", "ts"
@@ -2848,6 +2862,11 @@ mb_rng AS (
       ON a.component = b.component AND (a.qx, a.qy) < (b.qx, b.qy)
   ) c JOIN mb_q u ON u.component = c.component
   GROUP BY c.component, c.px, c.py, c.qx2, c.qy2, c.ex, c.ey
+  -- side-consistency: only pairs with all points on one side of their
+  -- line are MBR directions (min/max cross equals the pair's own
+  -- cross) — mirrors the engine's boundary-pair search exactly
+  HAVING MIN(u.qx * c.ey - u.qy * c.ex) = c.px * c.ey - c.py * c.ex
+      OR MAX(u.qx * c.ey - u.qy * c.ex) = c.px * c.ey - c.py * c.ex
 ),
 mb_best AS (
   SELECT * FROM (
@@ -2997,39 +3016,12 @@ def q_gap_fill_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tile CUBIC gap fill (reference griddata(method='cubic')
     analog): separable Catmull–Rom through the four nearest anchors,
     same max-gap gate. Validated in tests/test_gapfill.py."""
-    from .operators.gapfill import FILLED_SCHEMA, fill_grid_cubic
-    import numpy as np
-    import pandas as pd
-
-    def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
-        gx0, gy0 = int(pdf["gx"].min()), int(pdf["gy"].min())
-        nx = int(pdf["gx"].max()) - gx0 + 1
-        ny = int(pdf["gy"].max()) - gy0 + 1
-        grid = np.full((nx, ny), np.nan)
-        ix = pdf["gx"].to_numpy(dtype=int) - gx0
-        iy = pdf["gy"].to_numpy(dtype=int) - gy0
-        vals = pdf["building_z"].to_numpy(dtype=np.float64)
-        grid[ix, iy] = vals
-        was_gap = np.isnan(vals)
-        out_vals = fill_grid_cubic(grid, max_gap=6)[ix, iy]
-        return pd.DataFrame(
-            {
-                "tilecode": pdf["tilecode"],
-                "gx": pdf["gx"].astype("int64"),
-                "gy": pdf["gy"].astype("int64"),
-                "building_z": out_vals,
-                "was_gap": was_gap,
-                "filled": was_gap & ~np.isnan(out_vals),
-            }
-        )
+    from .operators.gapfill import fill_grid_cubic, grouped_grid_fill
 
     return _fill_r6(
-        R.raster_df(spark).select(
-            "tilecode",
-            F.col("gx").cast("long").alias("gx"),
-            F.col("gy").cast("long").alias("gy"),
-            "building_z",
-        ).groupBy("tilecode").applyInPandas(per_tile, schema=FILLED_SCHEMA)
+        grouped_grid_fill(
+            R.raster_df(spark), lambda g: fill_grid_cubic(g, max_gap=6)
+        )
     )
 
 
@@ -3743,16 +3735,32 @@ larea AS MATERIALIZED (
                          (x, y) -> x + y)) / 2.0 AS area
   FROM wseg GROUP BY component, lid
 ),
+lpair AS MATERIALIZED (
+  -- probe vertex per (outer, inner) pair: inner's min vertex NOT on
+  -- the outer loop (pinch-sharing loops would otherwise probe a point
+  -- ON the outer boundary); fallback = inner's plain min vertex —
+  -- identical choice to the engine
+  SELECT i.component, i.lid AS outer_lid, j.lid AS inner_lid,
+         COALESCE(
+           (SELECT MIN(wj.a) FROM wseg wj
+             WHERE wj.component = j.component AND wj.lid = j.lid
+               AND wj.a NOT IN (SELECT wi.a FROM wseg wi
+                                WHERE wi.component = i.component
+                                  AND wi.lid = i.lid)),
+           j.tvid) AS tv
+  FROM larea i JOIN larea j
+    ON j.component = i.component AND j.lid != i.lid
+),
 lcont AS MATERIALIZED (
-  SELECT s.component, s.lid AS outer_lid, j.lid AS inner_lid,
+  SELECT s.component, s.lid AS outer_lid, p.inner_lid,
          (SUM(CASE WHEN (s.y1 > q.y) != (s.y2 > q.y)
                     AND q.x < (s.x2 - s.x1) * (q.y - s.y1)
                               / (s.y2 - s.y1) + s.x1
               THEN 1 ELSE 0 END) % 2 = 1) AS contained
-  FROM larea j
-  JOIN upts q ON q.component = j.component AND q.vid = j.tvid
-  JOIN wseg s ON s.component = j.component AND s.lid != j.lid
-  GROUP BY s.component, s.lid, j.lid
+  FROM lpair p
+  JOIN upts q ON q.component = p.component AND q.vid = p.tv
+  JOIN wseg s ON s.component = p.component AND s.lid = p.outer_lid
+  GROUP BY s.component, s.lid, p.inner_lid
 ),
 ldepth AS (
   SELECT j.component, j.lid,
@@ -3923,6 +3931,10 @@ cf_rng AS (
       ON a.component = b.component AND (a.qx, a.qy) < (b.qx, b.qy)
   ) c JOIN cf_q u ON u.component = c.component
   GROUP BY c.component, c.px, c.py, c.qx2, c.qy2, c.ex, c.ey
+  -- side-consistency (see cluster_mbr oracle): mirrors the engine's
+  -- boundary-pair search
+  HAVING MIN(u.qx * c.ey - u.qy * c.ex) = c.px * c.ey - c.py * c.ex
+      OR MAX(u.qx * c.ey - u.qy * c.ex) = c.px * c.ey - c.py * c.ex
 ),
 cf_best AS MATERIALIZED (
   SELECT r.*, m.x0, m.y0 FROM (
