@@ -72,6 +72,7 @@ EXTENDED = [
     "ivf_kmeans_topk",
     "dedup_clusters",
     "decontaminate",
+    "quality_filter",
 ]
 
 # Queries timed for the scaling ratio: the flagship spatial-join +

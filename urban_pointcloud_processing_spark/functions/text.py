@@ -268,3 +268,76 @@ def shingles_from_tokens_sql(tok_col: str, n: int = 3) -> str:
         f"i -> {parts})) "
         f"ELSE CAST([] AS VARCHAR[]) END"
     )
+
+
+# ----------------------------------------------------------------------
+# Rule-based quality FILTER (the Gopher/C4-style gate that consumes the
+# quality signals): per doc a reason bitmask of failed rules + the kept
+# verdict. Rules (qualitative Gopher analogs):
+#   1  token count outside [10, 1000]
+#   2  mean token length outside [2, 10]
+#   4  stopword ratio < 0.02  (non-language-like text)
+#   8  distinct-token ratio < 0.35  (repetition / boilerplate)
+# ----------------------------------------------------------------------
+
+QF_MIN_TOK, QF_MAX_TOK = 10, 1000
+QF_MEAN_LO_E6, QF_MEAN_HI_E6 = 2_000_000, 10_000_000
+QF_STOP_MIN_E6 = 20_000
+QF_DISTINCT_MIN_E6 = 350_000
+
+
+def quality_filter_cols_expr(col: Column) -> dict[str, Column]:
+    qc = quality_cols_expr(col)
+    toks = tokens_expr(col)
+    n_tok = qc["n_tokens"]
+    distinct_ratio = F.when(
+        n_tok > 0,
+        F.size(F.array_distinct(toks)).cast("double") / n_tok.cast("double"),
+    ).otherwise(F.lit(0.0))
+    distinct_e6 = F.floor(distinct_ratio * F.lit(1000000.0)).cast("long")
+    reasons = (
+        F.when((n_tok < QF_MIN_TOK) | (n_tok > QF_MAX_TOK), F.lit(1))
+        .otherwise(F.lit(0))
+        + F.when(
+            (qc["mean_token_len_e6"] < QF_MEAN_LO_E6)
+            | (qc["mean_token_len_e6"] > QF_MEAN_HI_E6), F.lit(2)
+        ).otherwise(F.lit(0))
+        + F.when(qc["stop_ratio_e6"] < QF_STOP_MIN_E6, F.lit(4))
+        .otherwise(F.lit(0))
+        + F.when(distinct_e6 < QF_DISTINCT_MIN_E6, F.lit(8))
+        .otherwise(F.lit(0))
+    ).cast("int")
+    return {
+        "n_tokens": n_tok,
+        "distinct_ratio_e6": distinct_e6,
+        "reasons": reasons,
+        "kept": reasons == 0,
+    }
+
+
+def quality_filter_cols_sql(expr: str) -> dict[str, str]:
+    qc = quality_cols_sql(expr)
+    toks = tokens_sql(expr)
+    n_tok = qc["n_tokens"]
+    distinct_ratio = (
+        f"CASE WHEN ({n_tok}) > 0 THEN "
+        f"CAST(len(list_distinct({toks})) AS DOUBLE) / CAST({n_tok} AS DOUBLE) "
+        f"ELSE 0.0 END"
+    )
+    distinct_e6 = f"CAST(floor(({distinct_ratio}) * 1000000.0) AS BIGINT)"
+    reasons = (
+        f"CAST((CASE WHEN ({n_tok}) < {QF_MIN_TOK} OR ({n_tok}) > {QF_MAX_TOK} "
+        f"THEN 1 ELSE 0 END) "
+        f"+ (CASE WHEN ({qc['mean_token_len_e6']}) < {QF_MEAN_LO_E6} "
+        f"OR ({qc['mean_token_len_e6']}) > {QF_MEAN_HI_E6} THEN 2 ELSE 0 END) "
+        f"+ (CASE WHEN ({qc['stop_ratio_e6']}) < {QF_STOP_MIN_E6} "
+        f"THEN 4 ELSE 0 END) "
+        f"+ (CASE WHEN ({distinct_e6}) < {QF_DISTINCT_MIN_E6} "
+        f"THEN 8 ELSE 0 END) AS INTEGER)"
+    )
+    return {
+        "n_tokens": n_tok,
+        "distinct_ratio_e6": distinct_e6,
+        "reasons": reasons,
+        "kept": f"({reasons}) = 0",
+    }

@@ -714,6 +714,31 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", *[c.alias(n) for n, c in cols.items()]
     )
 
+_QF_SQL = T.quality_filter_cols_sql("text")
+
+
+@register(
+    "quality_filter",
+    f"""
+SELECT doc_id,
+       {_QF_SQL['n_tokens']} AS n_tokens,
+       {_QF_SQL['distinct_ratio_e6']} AS distinct_ratio_e6,
+       {_QF_SQL['reasons']} AS reasons,
+       {_QF_SQL['kept']} AS kept
+FROM documents
+""",
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality FILTER (the Gopher/C4-style gate): token
+    count, mean token length, stopword ratio and distinct-token
+    (repetition) rules as a reason bitmask + kept verdict — the
+    decision layer on top of text_stats, one scan, no shuffle."""
+    cols = T.quality_filter_cols_expr(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
+    )
+
+
 
 @register(
     "lang_id",
