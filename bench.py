@@ -668,7 +668,12 @@ def main() -> None:
         }
     except Exception as ex:  # scaling evidence is additive, never fatal
         scaling = {"error": str(ex)[:200]}
-    print(json.dumps({
+    # Full diagnostics (per-rep loadavg trails, extended per-query mins,
+    # scaling protocol detail) go to a side file; the driver's tail
+    # capture is ~2000 chars, so the FINAL stdout line must stay compact
+    # (BENCH_r03 recorded `parsed: null` when the full payload was
+    # printed inline — VERDICT r03 item 2).
+    full = {
         "metric": "headline suite wall time (spatial join + tiling + "
                   "training-data ops), local[%s], min of %s reps/query" % (
                       CPUS, os.environ.get("SPARK_GRAFT_SUITE_REPS", 2)),
@@ -685,6 +690,37 @@ def main() -> None:
             skew["skew_join_unsalted_noaqe"] / skew["skew_join_salted"], 2
         ),
         "scaling": scaling,
+    }
+    side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_FULL.json")
+    try:
+        with open(side, "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        side = None
+    compact_scaling = None
+    if isinstance(scaling, dict) and "efficiency" in scaling:
+        compact_scaling = {
+            "efficiency": scaling["efficiency"],
+            "t_sec": scaling["t_sec"],
+            "n_pages": scaling["n_pages"],
+            "loadavg": scaling.get("loadavg"),
+        }
+    elif isinstance(scaling, dict):
+        compact_scaling = {"error": scaling.get("error")}
+    print(json.dumps({
+        "metric": "headline suite wall time, local[%s], min of %s reps"
+                  % (CPUS, os.environ.get("SPARK_GRAFT_SUITE_REPS", 2)),
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "n_pages": n_pages,
+        "pages_per_sec": round(3 * n_pages / flagship) if flagship else None,
+        "extended_total_sec": round(sum(ext.values()), 3) if ext else None,
+        "skew_speedup_vs_unsalted": full["skew_speedup_vs_unsalted"],
+        "scaling": compact_scaling,
+        "detail_file": side,
     }))
 
 

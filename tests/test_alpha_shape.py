@@ -62,8 +62,17 @@ def test_alpha_shape_splits_distant_blobs():
         assert _ring_area(r) == pytest.approx(9.0)
 
 
+def _jitter(pts: np.ndarray, scale: float = 1e-6) -> np.ndarray:
+    """Deterministic general-position nudge: cluster_alpha_shape fails
+    closed on exactly-cocircular lattices (DegenerateTriangulationError
+    → sentinel), so its grouped-map tests use jittered grids — the same
+    general-position property the driver fixtures have."""
+    rng = np.random.default_rng(0)
+    return pts + rng.uniform(-scale, scale, pts.shape)
+
+
 def test_cluster_alpha_shape_grouped_map(spark):
-    pts = _grid_with_notch()
+    pts = _jitter(_grid_with_notch())
     rows = [(0, float(x), float(y)) for x, y in pts]
     rows += [(1, float(x) + 500.0, float(y)) for x, y in pts[:3]]  # degenerate
     df = spark.createDataFrame(rows, ["component", "x", "y"])
@@ -82,12 +91,12 @@ def test_alpha_shape_hole_nesting(spark):
     with n_holes=1 and net area = outer − hole (reference
     generate_poly_from_edges semantics); an island blob inside the hole
     is dropped (reference deletes all contained polys)."""
-    rows = []
-    for i in range(15):
-        for j in range(15):
-            if 3 <= i <= 11 and 3 <= j <= 11:
-                continue  # the hole
-            rows.append((0, float(i), float(j)))
+    grid = np.array([
+        (float(i), float(j))
+        for i in range(15) for j in range(15)
+        if not (3 <= i <= 11 and 3 <= j <= 11)  # the hole
+    ])
+    rows = [(0, float(x), float(y)) for x, y in _jitter(grid)]
     df = spark.createDataFrame(rows, ["component", "x", "y"])
     got = cluster_alpha_shape(df, alpha=0.6).collect()
     outs = [r for r in got if r["poly_idx"] >= 0]
@@ -100,10 +109,53 @@ def test_alpha_shape_hole_nesting(spark):
 
     # island inside the hole: a 1x1 blob at the center, ≥4 m from the
     # ring so no bridging triangle's circumradius beats 1/alpha
-    rows2 = rows + [(0, 6.5 + 0.5 * a, 6.5 + 0.5 * b)
-                    for a in range(3) for b in range(3)]
+    blob = np.array([(6.5 + 0.5 * a, 6.5 + 0.5 * b)
+                     for a in range(3) for b in range(3)])
+    rows2 = rows + [(0, float(x), float(y)) for x, y in _jitter(blob)]
     df2 = spark.createDataFrame(rows2, ["component", "x", "y"])
     got2 = cluster_alpha_shape(df2, alpha=0.6).collect()
     outs2 = [r for r in got2 if r["poly_idx"] >= 0]
     assert len(outs2) == 1, got2  # island dropped, not emitted
     assert outs2[0]["n_holes"] == 1
+
+
+def test_lattice_cocircularity_fails_closed_on_both_sides(spark):
+    """Exactly-cocircular (integer-lattice) input: the Delaunay
+    triangulation is ambiguous (every unit square's 4 corners are
+    cocircular), so the engine's Bowyer-Watson and the oracle's
+    brute-force strict-< construction could silently diverge. Both
+    must FAIL CLOSED to the identical sentinel row instead
+    (VERDICT r03 item 5 / ADVICE r03): the engine raises
+    DegenerateTriangulationError -> sentinel, the oracle's `cocirc`
+    equality probe routes the component to its sentinel branch."""
+    import duckdb
+
+    from urban_pointcloud_processing_spark.queries import _alpha_shape_sql
+
+    lattice = [(0, float(i), float(j)) for i in range(4) for j in range(4)]
+
+    # engine side: sentinel row, never a polygon
+    df = spark.createDataFrame(lattice, ["component", "x", "y"])
+    got = cluster_alpha_shape(df, alpha=0.3).collect()
+    assert len(got) == 1
+    eng = (got[0]["component"], got[0]["poly_idx"], got[0]["n_vertices"],
+           got[0]["area"], got[0]["n_holes"], got[0]["is_largest"])
+    assert eng == (0, -1, 16, 0.0, 0, False)
+
+    # oracle side: the PRODUCTION oracle SQL over the same points
+    values = ", ".join(f"({c}, {x}, {y})" for c, x, y in lattice)
+    points_sql = (
+        "SELECT component, x, y FROM (VALUES %s) "
+        "AS t(component, x, y)" % values
+    )
+    ora = duckdb.sql(_alpha_shape_sql(points_sql)).fetchall()
+    assert [tuple(r) for r in ora] == [eng]
+
+    # control: the jittered lattice is general-position -> real
+    # polygons on the engine side (no sentinel)
+    jit = _jitter(np.array([(x, y) for _, x, y in lattice]))
+    df2 = spark.createDataFrame(
+        [(0, float(x), float(y)) for x, y in jit], ["component", "x", "y"]
+    )
+    got2 = cluster_alpha_shape(df2, alpha=0.3).collect()
+    assert any(r["poly_idx"] >= 0 for r in got2)

@@ -145,3 +145,31 @@ def test_pairwise_cc_variant_matches_gate_semantics():
     )
     m2 = merge_clusters_pairwise_cc(_rows(rough))
     assert m2[1] == 1 and m2[2] == 2
+
+
+def test_merge_cables_cc_bucketed_path_matches_broadcast(spark, monkeypatch):
+    """The endpoint-cell-bucketed candidate enumeration (taken when the
+    cluster count exceeds MERGE_BROADCAST_MAX_CLUSTERS) must produce
+    exactly the pairs the broadcast self-join produces — the grid is a
+    superset prefilter ahead of the same exact gates."""
+    from urban_pointcloud_processing_spark.operators import cable_merge as cm
+
+    pdf = pd.concat([
+        _cable(1, 0.0, 18.0, 2.0, sag=0.0),
+        _cable(2, 20.0, 38.0, 2.0, sag=0.0),
+        _cable(3, 40.0, 58.0, 2.0, sag=0.0),   # chains 1-2-3
+        _cable(7, 0.0, 18.0, 80.0, sag=0.0),   # isolated far row
+        _cable(9, 20.5, 38.5, 80.0, sag=0.0),  # merges with 7? gap 2.5m yes
+    ])
+    df = spark.createDataFrame(pdf)
+    broadcast = {
+        r["cluster_id"]: r["merged_id"]
+        for r in cm.merge_cables_cc(df).collect()
+    }
+    monkeypatch.setattr(cm, "MERGE_BROADCAST_MAX_CLUSTERS", 0)
+    bucketed = {
+        r["cluster_id"]: r["merged_id"]
+        for r in cm.merge_cables_cc(df).collect()
+    }
+    assert bucketed == broadcast
+    assert broadcast[1] == broadcast[2] == broadcast[3] == 1

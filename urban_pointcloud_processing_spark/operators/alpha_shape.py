@@ -56,10 +56,32 @@ def _circumcircle(pa, pb, pc):
     return (ux, uy), r2
 
 
-def delaunay_triangles(pts: np.ndarray) -> list[tuple[int, int, int]]:
+class DegenerateTriangulationError(ValueError):
+    """Exactly-cocircular input detected (e.g. a lattice): the Delaunay
+    triangulation is not unique, so the engine's Bowyer–Watson and the
+    oracle's brute-force strict-< empty-circumcircle construction may
+    legitimately disagree. Both sides FAIL CLOSED instead: the engine
+    raises this (→ sentinel row in cluster_alpha_shape) and the SQL
+    oracle routes the component to its sentinel branch via an exact
+    on-circle equality probe. Jittered/continuous data never hits the
+    exact-equality condition (measure zero)."""
+
+
+def delaunay_triangles(
+    pts: np.ndarray, degen_r2: float = 0.0
+) -> list[tuple[int, int, int]]:
     """Bowyer–Watson incremental Delaunay over (n, 2) points. Returns
     triangles as index triples into ``pts``. Pure NumPy/Python —
-    O(n²) with small constants; meant for bounded per-cluster sets."""
+    O(n²) with small constants; meant for bounded per-cluster sets.
+
+    ``degen_r2``: raise DegenerateTriangulationError when an inserted
+    point lies EXACTLY on the circumcircle of an existing data triangle
+    whose squared circumradius is below this threshold (pass the alpha
+    filter's r_max² — larger circles are alpha-dropped under either
+    diagonal choice, so their ambiguity cannot affect the kept set).
+    The default 0.0 disables the check: ties then resolve by the
+    documented deterministic rule (lex insertion order, on-circle
+    points join the cavity)."""
     n = len(pts)
     if n < 3:
         return []
@@ -78,7 +100,16 @@ def delaunay_triangles(pts: np.ndarray) -> list[tuple[int, int, int]]:
         bad = []
         for t in tris:
             (ux, uy), r2 = cc[t]
-            if (px - ux) * (px - ux) + (py - uy) * (py - uy) <= r2:
+            d2 = (px - ux) * (px - ux) + (py - uy) * (py - uy)
+            if d2 <= r2:
+                if (
+                    d2 == r2
+                    and r2 < degen_r2
+                    and t[0] < n and t[1] < n and t[2] < n
+                ):
+                    raise DegenerateTriangulationError(
+                        f"point {p} exactly on circumcircle of {t}"
+                    )
                 bad.append(t)
         # boundary of the cavity = edges used by exactly one bad tri
         edge_count: dict[tuple[int, int], int] = {}
@@ -214,9 +245,21 @@ def _loop_contains(outer_idx: list[int], pts: np.ndarray,
     return cnt % 2 == 1
 
 
-def alpha_shape_loops(xy: np.ndarray, alpha: float = 1.0):
+def alpha_shape_loops(
+    xy: np.ndarray, alpha: float = 1.0, degen_check: bool = False
+):
     """All boundary loops of the alpha complex, deterministically split
-    at pinch vertices. Returns (pts, [(loop_key, vert_idx_list)])."""
+    at pinch vertices. Returns (pts, [(loop_key, vert_idx_list)]).
+
+    ``degen_check=True`` raises DegenerateTriangulationError on
+    exactly-cocircular input instead of relying on Bowyer–Watson's
+    (deterministic, insertion-order) diagonal choice — used by the
+    oracle-paired cluster_alpha_shape so engine and SQL oracle fail
+    closed together on degenerate (e.g. lattice) inputs. The default
+    keeps the documented deterministic tie-break: points are
+    lex-sorted by np.unique, BW inserts in that order, and an
+    on-circle point joins the cavity (the ``<=`` test), so lattice
+    output is reproducible run-to-run."""
     pts = np.unique(xy.astype(float), axis=0)
     if len(pts) < 4:
         return pts, []  # reference asserts >= 4 pts (alpha_shape_utils.py:50)
@@ -225,7 +268,9 @@ def alpha_shape_loops(xy: np.ndarray, alpha: float = 1.0):
     # the oracle's i<j<k evaluation exactly (circumcircle float results
     # depend on argument order)
     kept = []
-    for t in delaunay_triangles(pts):
+    for t in delaunay_triangles(
+        pts, degen_r2=r_max2 if degen_check else 0.0
+    ):
         ts = (min(t), sorted(t)[1], max(t))
         if _circumcircle(pts[ts[0]], pts[ts[1]], pts[ts[2]])[1] < r_max2:
             kept.append(ts)
@@ -278,11 +323,19 @@ def cluster_alpha_shape(
 
     def per_comp(pdf: pd.DataFrame) -> pd.DataFrame:
         comp = int(pdf[comp_col].iloc[0])
-        pts, loops = alpha_shape_loops(
-            pdf[["x", "y"]].to_numpy(dtype=float), alpha
-        )
         cols = ["component", "poly_idx", "n_vertices", "area",
                 "n_holes", "is_largest"]
+        try:
+            pts, loops = alpha_shape_loops(
+                pdf[["x", "y"]].to_numpy(dtype=float), alpha,
+                degen_check=True,
+            )
+        except DegenerateTriangulationError:
+            # exactly-cocircular input: fail closed (the oracle routes
+            # the component to the same sentinel via its equality probe)
+            return pd.DataFrame(
+                [(comp, -1, int(len(pdf)), 0.0, 0, False)], columns=cols
+            )
         if not loops:
             return pd.DataFrame(
                 [(comp, -1, int(len(pdf)), 0.0, 0, False)], columns=cols

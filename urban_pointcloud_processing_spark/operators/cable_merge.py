@@ -228,6 +228,10 @@ def merge_cables(
 
 MERGE_MAX_ANGLE_DEG = 15.0
 MERGE_MAX_GAP_MM2 = int(10.0 * 1000) ** 2     # max_gap = 10 m, in mm²
+# Above this many cable clusters the merge's candidate enumeration
+# switches from a broadcast self-join to the endpoint-cell-bucketed
+# join (same exact gates, superset prefilter — identical output).
+MERGE_BROADCAST_MAX_CLUSTERS = 20_000
 MERGE_MAX_RMSE_MM = 500.0                     # max_rmse = 0.5 m
 TQ_DIV = 1_000_000  # projection quantum: exact-int t divided down so
                     # Σt⁴ stays within HUGEINT/python-int sums
@@ -472,8 +476,65 @@ def merge_cables_cc(clustered: DataFrame,
         seg2("axm", "aym", "axm", "aym"), seg2("axm", "aym", "bxm", "bym"),
         seg2("bxm", "bym", "axm", "aym"), seg2("bxm", "bym", "bxm", "bym"),
     )
+    # Candidate enumeration. Below the broadcast ceiling the plain
+    # gated self-join is cheapest (geometry table is one row per
+    # cluster). Above it, an unconditional broadcast self-join is
+    # O(C²) predicate work and a driver-sized broadcast (ADVICE r03),
+    # so switch to endpoint-cell bucketing: the gap gate requires some
+    # endpoint pair within max_gap, so hashing endpoints to
+    # max_gap-sized grid cells and probing the 3×3 neighborhood yields
+    # a SUPERSET of qualifying pairs — the exact angle/gap gates below
+    # then filter it, so both paths produce identical pairs.
+    if geom.count() <= MERGE_BROADCAST_MAX_CLUSTERS:
+        raw = a.join(F.broadcast(b), F.col("a.cid") < F.col("b.cid"))
+    else:
+        g_mm = max(1, int(round(max_gap * 1000.0)))
+        spark = clustered.sparkSession
+        eps = (
+            geom.select(
+                "cid",
+                F.explode(
+                    F.array(
+                        F.struct(F.col("axm").alias("exm"),
+                                 F.col("aym").alias("eym")),
+                        F.struct(F.col("bxm").alias("exm"),
+                                 F.col("bym").alias("eym")),
+                    )
+                ).alias("e"),
+            )
+            .select(
+                "cid",
+                F.floor(F.col("e.exm") / g_mm).alias("gx"),
+                F.floor(F.col("e.eym") / g_mm).alias("gy"),
+            )
+            .distinct()
+        )
+        offs = spark.createDataFrame(
+            [(i, j) for i in (-1, 0, 1) for j in (-1, 0, 1)],
+            "ox long, oy long",
+        )
+        probe = eps.crossJoin(F.broadcast(offs)).select(
+            "cid",
+            (F.col("gx") + F.col("ox")).alias("gx"),
+            (F.col("gy") + F.col("oy")).alias("gy"),
+        )
+        pair_ids = (
+            eps.alias("ea")
+            .join(
+                probe.alias("eb"),
+                (F.col("ea.gx") == F.col("eb.gx"))
+                & (F.col("ea.gy") == F.col("eb.gy"))
+                & (F.col("ea.cid") < F.col("eb.cid")),
+            )
+            .select(F.col("ea.cid").alias("ia"), F.col("eb.cid").alias("ib"))
+            .distinct()
+        )
+        raw = (
+            pair_ids.join(a, F.col("ia") == F.col("a.cid"))
+            .join(b, F.col("ib") == F.col("b.cid"))
+        )
     cand = (
-        a.join(F.broadcast(b), F.col("a.cid") < F.col("b.cid"))
+        raw
         .filter(dot * dot >= F.lit(cos2) * (na2 * nb2))
         .filter(gap2 <= F.lit(gap_mm2))
         .select(F.col("a.cid").alias("ca"), F.col("b.cid").alias("cb"))

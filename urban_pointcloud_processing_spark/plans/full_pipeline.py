@@ -520,6 +520,19 @@ def full_pipeline_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the tile file (pipeline.py:88-95) and of Iceberg stage tables at
     cluster scale."""
     key = (spark.sparkContext.applicationId, sf_dir)
+    # Evict entries whose SparkContext has stopped: their checkpointed
+    # blocks are gone, so the cached DataFrame is unusable, and a
+    # long-lived process cycling sessions would otherwise grow the dict
+    # without bound (ADVICE r03). The live session's entries stay.
+    def _dead(df: DataFrame) -> bool:
+        try:
+            sc = df.sparkSession.sparkContext
+            return sc._jsc is None or sc._jsc.sc().isStopped()
+        except Exception:
+            return True  # any probe failure ⇒ not safely reusable
+
+    for k in [k for k, v in _LBL_CACHE.items() if _dead(v)]:
+        _LBL_CACHE.pop(k, None)
     cached = _LBL_CACHE.get(key)
     if cached is not None:
         return cached
