@@ -508,7 +508,7 @@ def _run_ivfrecall() -> None:
     brute = topk_sets(S.cosine_topk(emb, k=10, query_mod=query_mod))
     modulo = topk_sets(S.ivf_topk(emb, 10, query_mod, cent_mod, nprobe))
     trained = topk_sets(S.ivf_kmeans_topk(emb, 10, query_mod, cent_mod,
-                                          nprobe, iters=3))
+                                          nprobe, iters=3, train_mod=3))
 
     def recall(approx):
         vals = [len(approx.get(q, set()) & s) / len(s)

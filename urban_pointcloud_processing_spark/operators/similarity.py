@@ -484,10 +484,11 @@ SELECT query_id, vec_id, cosine, rank FROM (
 # value-exact vs the unrolled SQL oracle. On clustered data the trained
 # coarse quantizer recovers the true cell structure that the raw modulo
 # sample misses (recall measured in `bench.py --ivfrecall`). At 100 TB
-# the assignment stage is corpus × broadcast-centroids (linear, one
-# shuffle per iteration on the small (cent, pos) key); real deployments
-# would train on a sample — the full-corpus update here keeps the
-# oracle exact.
+# Lloyd trains on a deterministic modulo SAMPLE (train_mod) so the
+# per-iteration cost is sample × broadcast-centroids, not corpus-sized;
+# the full corpus is assigned once to the trained centroids afterwards.
+# The oracle mirrors the identical sample predicate, keeping the whole
+# loop value-exact.
 # ----------------------------------------------------------------------
 
 _KM_Q = 1048576.0  # 2^20 — component quantum for exact integer sums
@@ -545,13 +546,27 @@ def ivf_kmeans_topk(
     centroid_mod: int = 20,
     nprobe: int = 3,
     iters: int = 2,
+    train_mod: int = 1,
 ) -> DataFrame:
     """IVF ANN top-k over TRAINED coarse centroids: modulo-sampled
     seeds, `iters` deterministic Lloyd iterations (exact integer-sum
     updates), then the same probe/top-k machinery as ivf_topk. Empty
     clusters drop out of the update (inner-join semantics on both
-    engines)."""
+    engines).
+
+    ``train_mod``: Lloyd TRAINS on the deterministic sample
+    ``vec_id % train_mod == 0`` only (VERDICT r03 item 4 — at 100 TB a
+    full-corpus update per iteration is the one linear-×-iterations
+    cost in the ANN family; a sample recovers the same coarse
+    structure). The FULL corpus is still assigned to the trained
+    centroids afterwards, so the inverted lists cover every vector.
+    The oracle mirrors the same sample predicate. Default 1 = train on
+    everything (previous behavior)."""
     base = _with_norm(emb).localCheckpoint(eager=True)
+    train = (
+        base if train_mod <= 1
+        else base.filter(F.col("vec_id") % train_mod == 0)
+    )
     cents = base.filter(F.col("vec_id") % centroid_mod == 0).select(
         F.col("vec_id").alias("cent_id"),
         F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -559,7 +574,7 @@ def ivf_kmeans_topk(
         F.col("_norm").alias("c_norm"),
     )
     for _ in range(iters):
-        assigned = _assign_to_cents(base, cents)
+        assigned = _assign_to_cents(train, cents)
         cents = _kmeans_update(assigned).localCheckpoint(eager=True)
     assigned = _assign_to_cents(base, cents).localCheckpoint(eager=True)
     d = dot_udf()
@@ -612,12 +627,13 @@ def ivf_kmeans_topk(
 
 def ivf_kmeans_topk_sql(
     k: int = 10, query_mod: int = 50, centroid_mod: int = 20,
-    nprobe: int = 3, iters: int = 2,
+    nprobe: int = 3, iters: int = 2, train_mod: int = 1,
 ) -> str:
     """Unrolled Lloyd iterations mirroring ivf_kmeans_topk op-for-op:
     assignment = round-9 cosine argmax vs the current centroids; update
     = µ-quantized integer per-dimension means re-assembled in pos
-    order."""
+    order. Lloyd trains on the ``vec_id % train_mod = 0`` sample only
+    (mirrors the engine's sampled-training scale path)."""
     dotc = dot_sql("e.embedding", "c.c_emb")
     stages = ["""
 cents0 AS (
@@ -636,6 +652,7 @@ asg{t} AS (
              ORDER BY round({dotc} / (e.nrm * c.c_norm), 9) DESC, c.cent_id
            ) AS rn
     FROM base e CROSS JOIN cents{t} c
+    WHERE e.vec_id % {train_mod} = 0
   ) WHERE rn = 1
 ),
 dim{t} AS (

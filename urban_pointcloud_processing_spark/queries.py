@@ -873,15 +873,17 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(_embs(spark, sf_dir), 10, 50, 20, 3)
 
 
-@register("ivf_kmeans_topk", S.ivf_kmeans_topk_sql(10, 50, 20, 3, 2))
+@register("ivf_kmeans_topk", S.ivf_kmeans_topk_sql(10, 50, 20, 3, 2, 3))
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-10 over TRAINED coarse centroids (VERDICT r02 item
     8): modulo seeds + 2 deterministic Lloyd iterations with exact
-    µ-quantized integer-sum updates, then inverted-list probing
-    (nprobe=3). Value-exact vs the unrolled k-means SQL oracle; recall
-    vs brute force on a clustered fixture measured in
-    `bench.py --ivfrecall`."""
-    return S.ivf_kmeans_topk(_embs(spark, sf_dir), 10, 50, 20, 3, 2)
+    µ-quantized integer-sum updates — TRAINED on the deterministic
+    vec_id%3 sample (VERDICT r03 item 4: at 100 TB Lloyd must not scan
+    the full corpus per iteration), full corpus assigned afterwards —
+    then inverted-list probing (nprobe=3). Value-exact vs the unrolled
+    k-means SQL oracle (same sample predicate); recall vs brute force
+    on a clustered fixture measured in `bench.py --ivfrecall`."""
+    return S.ivf_kmeans_topk(_embs(spark, sf_dir), 10, 50, 20, 3, 2, 3)
 
 
 @register("ann_lsh_topk", S.ann_lsh_topk_sql(10, 50))
