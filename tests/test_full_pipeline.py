@@ -54,3 +54,69 @@ def test_full_pipeline_first_writer_wins_and_claims(spark):
         assert hist.get(int(expected), 0) > 0, expected
     # exactly one row per page (the fold never duplicates)
     assert out.select("page_id").distinct().count() == 1500
+
+
+def test_fused_families_match_sequential_chain(spark):
+    """The pole (7-9) and furniture (10-11) stage families run as ONE
+    fused detection each (VERDICT r03 item 3). Furniture fusing is
+    exact by construction (whole-component claims leave the remaining
+    CC partition unchanged); pole fusing detects over the pre-family
+    unlabelled set, so this test pins output identity against the
+    strictly sequential reference chain on the fixture."""
+    import urban_pointcloud_processing_spark.plans.full_pipeline as fp
+
+    lbl = (
+        fp._base(spark, SF_DIR)
+        .withColumn("label", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+
+    def fold(cur, claims):
+        c = claims.groupBy("page_id").agg(F.min("lbl").alias("_lbl"))
+        return (
+            cur.join(c, "page_id", "left")
+            .withColumn(
+                "label",
+                F.when(
+                    (F.col("label") == 0) & F.col("_lbl").isNotNull(),
+                    F.col("_lbl"),
+                ).otherwise(F.col("label")),
+            )
+            .drop("_lbl")
+            .localCheckpoint(eager=True)
+        )
+
+    def unl(cur):
+        return cur.filter(F.col("label") == 0)
+
+    lbl = fold(lbl, fp._claims_ground_refine(unl(lbl)))
+    lbl = lbl.withColumn(
+        "label",
+        F.when(
+            (F.col("label") == int(Labels.GROUND)) & F.col("in_road"),
+            F.lit(int(Labels.ROAD)),
+        ).otherwise(F.col("label")),
+    )
+    lbl = fold(lbl, fp._claims_noise(unl(lbl)))
+    lbl = lbl.withColumn(
+        "label",
+        F.when(
+            (F.col("label") == 0) & F.col("in_building")
+            & (F.col("bz").isNull() | (F.col("z") <= F.col("bz") + fp.BUILD_EPS)),
+            F.lit(int(Labels.BUILDING)),
+        ).otherwise(F.col("label")),
+    )
+    lbl = fold(lbl, fp._claims_cable(unl(lbl)))
+    lbl = fold(lbl, fp._claims_car(unl(lbl)))
+    for _, bgt_type, lab in fp.POLE_STAGES:      # strictly sequential
+        lbl = fold(lbl, fp._claims_pole(unl(lbl), bgt_type, lab))
+    for _, bgt_type, lab in fp.FURN_STAGES:
+        lbl = fold(lbl, fp._claims_furniture(unl(lbl), bgt_type, lab))
+    for _, lab in fp.GROWER_STAGES:
+        lbl = fold(lbl, fp._claims_grower(lbl, lab))
+    seq = {r["page_id"]: r["label"]
+           for r in lbl.select("page_id", "label").collect()}
+
+    fused = {r["page_id"]: r["label"]
+             for r in full_pipeline_labels(spark, SF_DIR).collect()}
+    assert fused == seq
