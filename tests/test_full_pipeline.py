@@ -120,3 +120,63 @@ def test_fused_families_match_sequential_chain(spark):
     fused = {r["page_id"]: r["label"]
              for r in full_pipeline_labels(spark, SF_DIR).collect()}
     assert fused == seq
+
+
+def test_pipeline_kill_and_resume_from_stage_k(spark):
+    """north_rule resumability for the ACTUAL 15-stage pipeline: run
+    with parquet stage tables, kill mid-run (simulated by a stage that
+    raises), rerun over the same checkpoint dir — the rerun must skip
+    every completed stage and produce output identical to the
+    uninterrupted in-session fold. Reference analog: the batch
+    processor skips completed tiles on rerun
+    (scripts/ahn_batch_processor.py:53-57)."""
+    import shutil
+    import tempfile
+
+    import urban_pointcloud_processing_spark.plans.full_pipeline as fp
+    from urban_pointcloud_processing_spark.plans.lineage import read_lineage
+
+    tmp = tempfile.mkdtemp(prefix="upcp_fp_ckpt_")
+    try:
+        stages = fp.pipeline_stages()
+        kill_at = 5  # die entering the 6th stage (car_fuser)
+
+        class _Killed(RuntimeError):
+            pass
+
+        broken = [
+            (n, labs, (lambda _lbl: (_ for _ in ()).throw(_Killed())))
+            if i == kill_at else (n, labs, s)
+            for i, (n, labs, s) in enumerate(stages)
+        ]
+        orig = fp.pipeline_stages
+        fp.pipeline_stages = lambda: broken
+        try:
+            try:
+                fp.full_pipeline_labels_resumable(spark, SF_DIR, tmp, "r1")
+                raise AssertionError("kill did not fire")
+            except _Killed:
+                pass
+        finally:
+            fp.pipeline_stages = orig
+
+        # resume: completed prefix is skipped, the rest recomputes
+        out, resumed = fp.full_pipeline_labels_resumable(
+            spark, SF_DIR, tmp, "r2"
+        )
+        assert resumed == [n for n, _, _ in stages[:kill_at]]
+        got = {r["page_id"]: r["label"] for r in out.collect()}
+
+        cold = {
+            r["page_id"]: r["label"]
+            for r in full_pipeline_labels(spark, SF_DIR).collect()
+        }
+        assert got == cold
+
+        # lineage: per-tile rows for every non-skipped stage, both runs
+        lin = read_lineage(spark, f"{tmp}/_lineage")
+        names = {r["stage_name"] for r in lin.select("stage_name").distinct().collect()}
+        assert names == {n for n, _, _ in stages}
+        assert lin.filter(F.col("stage_name") == "ground_refine").count() > 1
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

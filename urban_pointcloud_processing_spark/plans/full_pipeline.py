@@ -131,7 +131,9 @@ GROWER_STAGES = (
     (15, Labels.TREE),
 )
 
-_BASE_COLS = ("page_id", "x", "y", "z", "gz", "bz", "in_road", "in_building")
+# tile_x/tile_y ride along for per-tile lineage in the resumable path
+_BASE_COLS = ("page_id", "tile_x", "tile_y", "x", "y", "z",
+              "gz", "bz", "in_road", "in_building")
 
 
 # ---------------------------------------------------------------------
@@ -149,7 +151,7 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
         None, {"_in_road": list(ROAD_TYPES), "_in_building": ["pand"]}
     )(enriched)
     return flagged.select(
-        "page_id", "x", "y", "z",
+        "page_id", "tile_x", "tile_y", "x", "y", "z",
         F.col("ground_z").alias("gz"), F.col("building_z").alias("bz"),
         F.col("_in_road").alias("in_road"),
         F.col("_in_building").alias("in_building"),
@@ -723,6 +725,96 @@ def _claims_grower(lbl_df: DataFrame, label: int) -> DataFrame:
 _LBL_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _fold(cur: DataFrame, claims: DataFrame) -> DataFrame:
+    """First-writer-wins claim fold (NOT materialized — the runner
+    decides between localCheckpoint and a parquet stage table)."""
+    c = claims.groupBy("page_id").agg(F.min("lbl").alias("_lbl"))
+    return (
+        cur.join(c, "page_id", "left")
+        .withColumn(
+            "label",
+            F.when(
+                (F.col("label") == 0) & F.col("_lbl").isNotNull(),
+                F.col("_lbl"),
+            ).otherwise(F.col("label")),
+        )
+        .drop("_lbl")
+    )
+
+
+def _fold_family(cur: DataFrame, claims: DataFrame) -> DataFrame:
+    # claims = (page_id, stage, lbl) from a fused stage family;
+    # MIN(stage, lbl) per page == first-writer-wins in stage order
+    c = claims.groupBy("page_id").agg(
+        F.min(F.struct("stage", "lbl")).alias("_s")
+    )
+    return (
+        cur.join(c, "page_id", "left")
+        .withColumn(
+            "label",
+            F.when(
+                (F.col("label") == 0) & F.col("_s").isNotNull(),
+                F.col("_s.lbl"),
+            ).otherwise(F.col("label")),
+        )
+        .drop("_s")
+    )
+
+
+def _unl(cur: DataFrame) -> DataFrame:
+    return cur.filter(F.col("label") == 0)
+
+
+def pipeline_stages() -> list[tuple[str, list[int], object]]:
+    """Ordered (name, labels_written, step) list — the single source of
+    truth for the stage chain. ``step(lbl_state) -> lbl_state``; each
+    step is one reference pipeline stage (or fused family). The runner
+    materializes AFTER each step (localCheckpoint in-session, parquet
+    stage tables for the resumable path)."""
+    L = Labels
+    stages: list[tuple[str, list[int], object]] = [
+        ("ground_refine", [int(L.GROUND)],
+         lambda lbl: _fold(lbl, _claims_ground_refine(_unl(lbl)))),
+        ("road_retarget", [int(L.ROAD)],
+         lambda lbl: lbl.withColumn(
+             "label",
+             F.when(
+                 (F.col("label") == int(L.GROUND)) & F.col("in_road"),
+                 F.lit(int(L.ROAD)),
+             ).otherwise(F.col("label")))),
+        ("noise_filter", [int(L.NOISE)],
+         lambda lbl: _fold(lbl, _claims_noise(_unl(lbl)))),
+        ("building_fuser", [int(L.BUILDING)],
+         lambda lbl: lbl.withColumn(
+             "label",
+             F.when(
+                 (F.col("label") == 0)
+                 & F.col("in_building")
+                 & (F.col("bz").isNull()
+                    | (F.col("z") <= F.col("bz") + BUILD_EPS)),
+                 F.lit(int(L.BUILDING)),
+             ).otherwise(F.col("label")))),
+        ("cable_fuser", [int(L.CABLE), int(L.TRAM_CABLE)],
+         lambda lbl: _fold(lbl, _claims_cable(_unl(lbl)))),
+        ("car_fuser", [int(L.CAR)],
+         lambda lbl: _fold(lbl, _claims_car(_unl(lbl)))),
+        ("pole_family", [int(lab) for _, _, lab in POLE_STAGES],
+         lambda lbl: _fold_family(lbl, _claims_pole_family(_unl(lbl)))),
+        ("furniture_family", [int(lab) for _, _, lab in FURN_STAGES],
+         lambda lbl: _fold_family(lbl, _claims_furniture_family(_unl(lbl)))),
+    ]
+    grower_name = {int(L.BUILDING): "grow_building",
+                   int(L.STREET_LIGHT): "grow_light",
+                   int(L.TRAFFIC_SIGN): "grow_sign",
+                   int(L.TREE): "grow_tree"}
+    for _, lab in GROWER_STAGES:
+        stages.append(
+            (grower_name[int(lab)], [int(lab)],
+             lambda lbl, lab=lab: _fold(lbl, _claims_grower(lbl, lab)))
+        )
+    return stages
+
+
 def full_pipeline_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(page_id, label) after the 15-stage first-writer-wins fold.
 
@@ -732,7 +824,7 @@ def full_pipeline_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses it instead of recomputing all 15 stages. This is the local
     analog of the reference pipeline writing each stage's labels back
     to the tile file (pipeline.py:88-95) and of Iceberg stage tables at
-    cluster scale."""
+    cluster scale (full_pipeline_labels_resumable)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     # Evict entries whose SparkContext has stopped: their checkpointed
     # blocks are gone, so the cached DataFrame is unusable, and a
@@ -755,80 +847,55 @@ def full_pipeline_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.lit(0))
         .localCheckpoint(eager=True)
     )
-
-    def fold(cur: DataFrame, claims: DataFrame) -> DataFrame:
-        c = claims.groupBy("page_id").agg(F.min("lbl").alias("_lbl"))
-        return (
-            cur.join(c, "page_id", "left")
-            .withColumn(
-                "label",
-                F.when(
-                    (F.col("label") == 0) & F.col("_lbl").isNotNull(),
-                    F.col("_lbl"),
-                ).otherwise(F.col("label")),
-            )
-            .drop("_lbl")
-            .localCheckpoint(eager=True)
-        )
-
-    def fold_family(cur: DataFrame, claims: DataFrame) -> DataFrame:
-        # claims = (page_id, stage, lbl) from a fused stage family;
-        # MIN(stage, lbl) per page == first-writer-wins in stage order
-        c = claims.groupBy("page_id").agg(
-            F.min(F.struct("stage", "lbl")).alias("_s")
-        )
-        return (
-            cur.join(c, "page_id", "left")
-            .withColumn(
-                "label",
-                F.when(
-                    (F.col("label") == 0) & F.col("_s").isNotNull(),
-                    F.col("_s.lbl"),
-                ).otherwise(F.col("label")),
-            )
-            .drop("_s")
-            .localCheckpoint(eager=True)
-        )
-
-    def unl(cur: DataFrame) -> DataFrame:
-        return cur.filter(F.col("label") == 0)
-
-    # 1 npz_ground_fuser (ground + refine_ground)
-    lbl = fold(lbl, _claims_ground_refine(unl(lbl)))
-    # 2 road_part_fuser — retargets GROUND (road_fuser.py:81)
-    lbl = lbl.withColumn(
-        "label",
-        F.when(
-            (F.col("label") == int(Labels.GROUND)) & F.col("in_road"),
-            F.lit(int(Labels.ROAD)),
-        ).otherwise(F.col("label")),
-    )
-    # 3 noise_filter
-    lbl = fold(lbl, _claims_noise(unl(lbl)))
-    # 4 bgt_building_fuser — pure predicate, folded as a CASE
-    lbl = lbl.withColumn(
-        "label",
-        F.when(
-            (F.col("label") == 0)
-            & F.col("in_building")
-            & (F.col("bz").isNull() | (F.col("z") <= F.col("bz") + BUILD_EPS)),
-            F.lit(int(Labels.BUILDING)),
-        ).otherwise(F.col("label")),
-    )
-    # 5 cable_fuser (CABLE / TRAM_CABLE labelling)
-    lbl = fold(lbl, _claims_cable(unl(lbl)))
-    # 6 car_fuser
-    lbl = fold(lbl, _claims_car(unl(lbl)))
-    # 7-9 tree / light / sign pole fusers — fused family, one detection
-    lbl = fold_family(lbl, _claims_pole_family(unl(lbl)))
-    # 10-11 rubbish-bin / city-bench furniture fusers — fused family
-    lbl = fold_family(lbl, _claims_furniture_family(unl(lbl)))
-    # 12-15 building / light / sign / tree growers
-    for _, lab in GROWER_STAGES:
-        lbl = fold(lbl, _claims_grower(lbl, lab))
+    for _, _, step in pipeline_stages():
+        lbl = step(lbl).localCheckpoint(eager=True)
     out = lbl.select("page_id", "label")
     _LBL_CACHE[key] = out
     return out
+
+
+def full_pipeline_labels_resumable(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    run_id: str = "run0",
+) -> tuple[DataFrame, list[str]]:
+    """The same 15-stage fold with PARQUET stage tables (the in-sandbox
+    Iceberg stand-in) instead of localCheckpoints: each stage's full
+    label state persists to ``checkpoint_dir/stage_{i:02d}_{name}`` and
+    per-tile lineage/metrics append to ``checkpoint_dir/_lineage``
+    (north_rule resumability; reference analog
+    scripts/ahn_batch_processor.py:53-57 — completed tiles skipped on
+    rerun). A rerun over the same directory skips every stage whose
+    table reads back, so a killed job resumes at the first incomplete
+    stage with identical results (parquet round-trips the exact
+    doubles). Returns (labels_df, resumed_stage_names)."""
+    import time as _t
+
+    from .lineage import append_stage_lineage
+
+    lbl = _base(spark, sf_dir).withColumn("label", F.lit(0))
+    resumed: list[str] = []
+    for i, (name, labels, step) in enumerate(pipeline_stages()):
+        path = f"{checkpoint_dir}/stage_{i:02d}_{name}"
+        try:
+            done = spark.read.parquet(path)
+            done.head(1)  # force footer read: empty/corrupt → recompute
+            lbl = done
+            resumed.append(name)
+            continue
+        except Exception:
+            pass
+        t0 = _t.time()
+        out = step(lbl)
+        out.write.mode("overwrite").parquet(path)
+        out = spark.read.parquet(path)
+        append_stage_lineage(
+            f"{checkpoint_dir}/_lineage", run_id, i, name,
+            before=lbl, after=out, label=labels, wall_sec=_t.time() - t0,
+        )
+        lbl = out
+    return lbl.select("page_id", "label"), resumed
 
 
 # ---------------------------------------------------------------------

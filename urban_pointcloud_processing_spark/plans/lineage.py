@@ -23,10 +23,12 @@ TILE_KEYS = ("tile_x", "tile_y")
 
 
 def stage_lineage(
-    before: DataFrame, after: DataFrame, label: int
+    before: DataFrame, after: DataFrame, label: int | list[int]
 ) -> DataFrame:
     """Per-tile rows-in / rows-out / rows-now-carrying-this-label.
-    One shuffle per side (map-side combined counts)."""
+    One shuffle per side (map-side combined counts). ``label`` may be
+    a list for fused stage families — rows carrying ANY of them."""
+    labels = [int(label)] if isinstance(label, int) else [int(x) for x in label]
     keys = [k for k in TILE_KEYS if k in after.columns]
     if not keys:
         after = after.withColumn("tile_x", F.lit(-1)).withColumn(
@@ -39,7 +41,7 @@ def stage_lineage(
     b = before.groupBy(*keys).agg(F.count("*").alias("rows_in"))
     a = after.groupBy(*keys).agg(
         F.count("*").alias("rows_out"),
-        F.sum((F.col("label") == F.lit(label)).cast("long")).alias(
+        F.sum(F.col("label").isin(labels).cast("long")).alias(
             "rows_labelled"
         ),
     )
@@ -58,7 +60,7 @@ def append_stage_lineage(
     stage_name: str,
     before: DataFrame,
     after: DataFrame,
-    label: int,
+    label: int | list[int],
     wall_sec: float,
 ) -> None:
     rows = (
