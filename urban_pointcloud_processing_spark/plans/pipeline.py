@@ -116,7 +116,11 @@ class Pipeline:
                 out = out.localCheckpoint(eager=True)
             if self.eager or self.checkpoint_dir:
                 wall = time.time() - t0
-                claimed = out.filter(F.col("label") == proc.label).count()
+                labs = (proc.label if isinstance(proc.label, (list, tuple))
+                        else [proc.label])
+                claimed = out.filter(
+                    F.col("label").isin([int(x) for x in labs])
+                ).count()
                 self.metrics.append(StageMetric(proc.name, claimed, wall))
                 if self.checkpoint_dir is not None:
                     append_stage_lineage(
