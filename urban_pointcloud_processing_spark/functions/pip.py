@@ -243,6 +243,71 @@ def pip_flag_pandas_udf(polygons: list[dict], types: list[str] | None = None):
     return inside
 
 
+def _prep_polys(polygons: list[dict], types: list[str] | None):
+    import numpy as np
+
+    return [
+        (
+            np.asarray(
+                [
+                    (x1, y1, x2, y2)
+                    for ring in p["rings"]
+                    for (x1, y1), (x2, y2) in zip(ring, ring[1:])
+                    if y1 != y2
+                ],
+                dtype=np.float64,
+            ),
+            (p["x_min"], p["y_min"], p["x_max"], p["y_max"]),
+        )
+        for p in polygons
+        if types is None or p["bgt_type"] in types
+    ]
+
+
+def pip_flags_pandas_udf(polygons: list[dict],
+                         flag_types: dict[str, list[str] | None]):
+    """Multi-flag variant of pip_flag_pandas_udf: ALL requested flags
+    are computed in ONE Arrow pass over (x, y) and returned as a struct
+    of booleans. With k flags the per-flag UDFs ship the x/y batch to
+    Python k times; this ships it once — the Arrow transfer, not the
+    crossing math, dominates PIP cost at scale (it is the memory-bound
+    half of the flagship pipeline's scaling profile). Per-flag
+    arithmetic is identical to pip_flag_pandas_udf (bit-identical
+    results)."""
+    import numpy as np
+
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    flags = list(flag_types)
+    per_flag = {f: _prep_polys(polygons, flag_types[f]) for f in flags}
+    schema = StructType([StructField(f, BooleanType()) for f in flags])
+
+    @F.pandas_udf(schema)
+    def inside_multi(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        px = x.to_numpy(dtype=np.float64)
+        py = y.to_numpy(dtype=np.float64)
+        cols = {}
+        for f in flags:
+            out = np.zeros(len(px), dtype=bool)
+            for edges, (bx0, by0, bx1, by1) in per_flag[f]:
+                bbox = (px >= bx0) & (px <= bx1) & (py >= by0) & (py <= by1)
+                idx = np.nonzero(bbox)[0]
+                if idx.size == 0:
+                    continue
+                sx, sy = px[idx], py[idx]
+                parity = np.zeros(idx.size, dtype=bool)
+                for x1, y1, x2, y2 in edges:
+                    straddles = (y1 > sy) != (y2 > sy)
+                    parity ^= straddles & (
+                        sx < (x2 - x1) * (sy - y1) / (y2 - y1) + x1
+                    )
+                out[idx[parity]] = True
+            cols[f] = out
+        return pd.DataFrame(cols)
+
+    return inside_multi
+
+
 # --- DuckDB oracle SQL -------------------------------------------------
 
 def pip_hits_sql(pts_cte: str, edges_values: str,

@@ -99,6 +99,22 @@ class PipEnricher:
                         for flag, ts in missing.items()
                     }
                 )
+            if len(missing) > 1:
+                # one Arrow pass for ALL flags — the x/y batch transfer
+                # (not the crossing math) dominates PIP at scale
+                from ..functions.pip import pip_flags_pandas_udf
+
+                struct_col = pip_flags_pandas_udf(polys, missing)(
+                    F.col("x"), F.col("y")
+                )
+                return (
+                    pages.withColumn("_pipflags", struct_col)
+                    .withColumns(
+                        {flag: F.col("_pipflags").getField(flag)
+                         for flag in missing}
+                    )
+                    .drop("_pipflags")
+                )
             return pages.withColumns(
                 {
                     flag: pip_flag_pandas_udf(polys, ts)(F.col("x"), F.col("y"))
