@@ -99,3 +99,42 @@ def test_expr_and_udf_agree_on_vertices_and_edges(spark):
     inside = {r["i"]: r["e"] for r in out}
     assert inside[6] is True  # strict interior
     assert inside[7] is False  # outside
+
+
+def test_multi_flag_udf_matches_per_flag_udfs(spark):
+    """pip_flags_pandas_udf (ONE Arrow pass for all flags) must be
+    bit-identical to k independent pip_flag_pandas_udf calls — it is
+    the PipEnricher default whenever more than one flag is missing."""
+    from urban_pointcloud_processing_spark.functions.pip import (
+        pip_flags_pandas_udf,
+    )
+    from urban_pointcloud_processing_spark.sources.layers import (
+        ROAD_TYPES,
+        polygon_layer,
+    )
+    from urban_pointcloud_processing_spark.sources.pages import (
+        pages_from_orders,
+    )
+
+    polys = polygon_layer()
+    flag_types = {"in_road": list(ROAD_TYPES), "in_building": ["pand"]}
+    pages = pages_from_orders(spark, "/root/testdata/sf0.001")
+    multi = pip_flags_pandas_udf(polys, flag_types)(F.col("x"), F.col("y"))
+    df = pages.select(
+        "page_id",
+        multi.getField("in_road").alias("mr"),
+        multi.getField("in_building").alias("mb"),
+        pip_flag_pandas_udf(polys, flag_types["in_road"])(
+            F.col("x"), F.col("y")).alias("sr"),
+        pip_flag_pandas_udf(polys, flag_types["in_building"])(
+            F.col("x"), F.col("y")).alias("sb"),
+    )
+    bad = df.filter(
+        (F.col("mr") != F.col("sr")) | (F.col("mb") != F.col("sb"))
+    ).count()
+    assert bad == 0
+    # sanity: both flags light up somewhere on the fixture
+    lit_counts = df.agg(
+        F.sum(F.col("mr").cast("int")), F.sum(F.col("mb").cast("int"))
+    ).collect()[0]
+    assert lit_counts[0] > 0 and lit_counts[1] > 0
