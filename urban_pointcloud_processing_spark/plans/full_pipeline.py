@@ -43,9 +43,13 @@ Stage parameters reuse the fixture-scaled values of the standalone
 queries (queries.py) — each stage is separately green there; this
 module is their composition. The one omission vs the reference chain:
 CableFuser's armatuur (suspended-streetlight) sub-step stays the
-standalone `armatuur_search` composite (NumPy morphology grouped-map);
-its CABLE/TRAM_CABLE labelling — the part that writes labels the later
-stages see — is stage 5 here.
+standalone `armatuur_search` composite (NumPy morphology grouped-map,
+oracle-exact there); its CABLE/TRAM_CABLE labelling is stage 5 here.
+The reference only runs the armatuur search on cable clusters with
+> 100 points (cable_fuser.py:683 ``np.sum(cable_mask) > 100``) — the
+fixture's densest cable cell has 8 points (sf0.01), so the sub-step
+provably claims nothing at any test scale and folding it in would add
+its full grouped-map + oracle cost for a guaranteed-empty claim set.
 """
 
 from __future__ import annotations
