@@ -341,3 +341,75 @@ def quality_filter_cols_sql(expr: str) -> dict[str, str]:
         "reasons": reasons,
         "kept": f"({reasons}) = 0",
     }
+
+
+# ----------------------------------------------------------------------
+# Duplicate-n-gram repetition (Gopher repetition-signal analog: the
+# fraction of word-n-gram OCCURRENCES that are repeats of an earlier
+# occurrence within the same document). Pure per-row expressions — no
+# shuffle, no UDF; scales as a map over the corpus.
+# ----------------------------------------------------------------------
+
+REP_NGRAM_N = 3
+REP_DUP_FRAC_MAX = 0.05  # flag threshold (fixture-scaled)
+
+
+def repetition_cols_expr(col: Column, n: int = REP_NGRAM_N) -> dict[str, Column]:
+    toks = tokens_expr(col)
+    has = (F.length(F.trim(col)) > 0) & (F.size(toks) >= n)
+    total = F.when(has, F.size(toks) - F.lit(n) + 1).otherwise(F.lit(0))
+    idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.get(toks, i + F.lit(j)) for j in range(n)]
+        ),
+    )
+    ndist = F.when(has, F.size(F.array_distinct(grams))).otherwise(F.lit(0))
+    total_l = total.cast("long")
+    ndist_l = ndist.cast("long")
+    dup_frac = F.when(
+        total_l > 0,
+        (total_l - ndist_l).cast("double") / total_l.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_grams": total_l,
+        "n_distinct": ndist_l,
+        "dup_frac": dup_frac,
+        "flagged": dup_frac > F.lit(REP_DUP_FRAC_MAX),
+    }
+
+
+def repetition_sql(text_expr: str, n: int = REP_NGRAM_N) -> str:
+    """Full oracle SELECT body over `documents` for q_repetition_ngrams
+    (token list bound in a CTE first — DuckDB lambda scoping)."""
+    parts = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {tokens_sql(text_expr)} AS t,
+         length(trim({text_expr})) AS lt
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN lt > 0 AND len(t) >= {n} THEN len(t) - {n} + 1
+              ELSE 0 END AS n_grams,
+         CASE WHEN lt > 0 AND len(t) >= {n} THEN
+           len(list_distinct(list_transform(
+             range(1, len(t) - {n} + 2), i -> {parts})))
+         ELSE 0 END AS n_distinct
+  FROM tok
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CASE WHEN n_grams > 0
+            THEN CAST(n_grams - n_distinct AS DOUBLE)
+                 / CAST(n_grams AS DOUBLE)
+            ELSE 0.0 END AS dup_frac,
+       (CASE WHEN n_grams > 0
+             THEN CAST(n_grams - n_distinct AS DOUBLE)
+                  / CAST(n_grams AS DOUBLE)
+             ELSE 0.0 END) > {REP_DUP_FRAC_MAX} AS flagged
+FROM g
+"""

@@ -739,6 +739,19 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("repetition_ngrams", T.repetition_sql("text"))
+def q_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-word-3-gram repetition signal (Gopher repetition-rule
+    analog): per doc the fraction of 3-gram OCCURRENCES that repeat an
+    earlier occurrence, plus a flag above the fixture-scaled threshold.
+    Pure higher-order-function expressions — one scan, zero shuffle,
+    zero Python; complements quality_filter's distinct-TOKEN rule with
+    the phrase-level boilerplate signal."""
+    cols = T.repetition_cols_expr(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
+    )
+
 
 @register(
     "lang_id",
