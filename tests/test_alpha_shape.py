@@ -159,3 +159,54 @@ def test_lattice_cocircularity_fails_closed_on_both_sides(spark):
     )
     got2 = cluster_alpha_shape(df2, alpha=0.3).collect()
     assert any(r["poly_idx"] >= 0 for r in got2)
+
+
+def test_degeneracy_guard_symmetry_non_delaunay_cocircles(spark):
+    """Round-4 review repro: a cocircular quadruple whose circumcircle
+    contains ANOTHER point is not a live Delaunay triangle — the
+    engine's Bowyer-Watson never tests it, so the oracle's probe must
+    not fire on it either (it now requires the on-circle point to
+    FOLLOW the triple in vid order with no earlier point strictly
+    inside). Both sides must agree on both orientations of the case."""
+    import duckdb
+
+    from urban_pointcloud_processing_spark.queries import _alpha_shape_sql
+
+    def both(points):
+        df = spark.createDataFrame(
+            [(0, float(x), float(y)) for x, y in points],
+            ["component", "x", "y"],
+        )
+        eng = sorted(
+            (r["component"], r["poly_idx"], r["n_vertices"], r["area"],
+             r["n_holes"], r["is_largest"])
+            for r in cluster_alpha_shape(df, alpha=0.3).collect()
+        )
+        values = ", ".join(f"(0, {x!r}, {y!r})" for x, y in points)
+        ora = sorted(
+            tuple(r)
+            for r in duckdb.sql(_alpha_shape_sql(
+                "SELECT component, x, y FROM (VALUES %s) "
+                "AS t(component, x, y)" % values
+            )).fetchall()
+        )
+        return eng, ora
+
+    quad = [(-2.5, 0.0), (2.5, 0.0), (0.0, -2.5), (0.0, 2.5)]
+    extras = [(-1.113, 0.477), (0.531, -1.041), (1.003, 0.929)]
+
+    # interior point EARLY in vid order (x=0.137 < 2.5): it destroys
+    # the quad's triangles before the last quad point inserts — no
+    # bail on either side, real polygons must match
+    eng, ora = both(quad + [(0.137, 0.259)] + extras)
+    assert eng == ora
+    assert any(r[1] >= 0 for r in eng), "expected real polygons"
+
+    # the extras sit INSIDE the quad's circumcircle, so the quadruple
+    # is never a live Delaunay triangle + on-circle point — no bail,
+    # but engine and oracle must still agree (asserted above). With
+    # the bare quad the circle IS empty: its 4th corner fires the
+    # guard during insertion — both sides must agree on the sentinel.
+    eng2, ora2 = both(quad)
+    assert eng2 == ora2
+    assert eng2[0][1] == -1, "expected the sentinel row"

@@ -196,22 +196,7 @@ def pip_flag_pandas_udf(polygons: list[dict], types: list[str] | None = None):
     Reference kernel: src/upcp/utils/clip_utils.py:119-190."""
     import numpy as np
 
-    polys = [
-        (
-            np.asarray(
-                [
-                    (x1, y1, x2, y2)
-                    for ring in p["rings"]
-                    for (x1, y1), (x2, y2) in zip(ring, ring[1:])
-                    if y1 != y2
-                ],
-                dtype=np.float64,
-            ),
-            (p["x_min"], p["y_min"], p["x_max"], p["y_max"]),
-        )
-        for p in polygons
-        if types is None or p["bgt_type"] in types
-    ]
+    polys = _prep_polys(polygons, types)
 
     from pyspark.sql.types import BooleanType
 

@@ -102,14 +102,23 @@ def delaunay_triangles(
             (ux, uy), r2 = cc[t]
             d2 = (px - ux) * (px - ux) + (py - uy) * (py - uy)
             if d2 <= r2:
-                if (
-                    d2 == r2
-                    and r2 < degen_r2
-                    and t[0] < n and t[1] < n and t[2] < n
-                ):
-                    raise DegenerateTriangulationError(
-                        f"point {p} exactly on circumcircle of {t}"
+                if degen_r2 > 0.0 and t[0] < n and t[1] < n and t[2] < n:
+                    # evaluate the EXACT-equality degeneracy test on
+                    # the SORTED-vertex circumcircle — the same doubles
+                    # the SQL oracle's `cocirc` probe computes — so
+                    # engine and oracle fire on identical conditions
+                    # (the cavity test above may use a different float
+                    # evaluation order; only the firing test must
+                    # match). Cost: one recompute per cavity hit.
+                    ts = sorted(t)
+                    (uxs, uys), r2s = _circumcircle(
+                        allp[ts[0]], allp[ts[1]], allp[ts[2]]
                     )
+                    d2s = (px - uxs) * (px - uxs) + (py - uys) * (py - uys)
+                    if d2s == r2s and r2s < degen_r2:
+                        raise DegenerateTriangulationError(
+                            f"point {p} exactly on circumcircle of {t}"
+                        )
                 bad.append(t)
         # boundary of the cavity = edges used by exactly one bad tri
         edge_count: dict[tuple[int, int], int] = {}

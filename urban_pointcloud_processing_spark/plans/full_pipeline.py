@@ -135,9 +135,6 @@ GROWER_STAGES = (
     (15, Labels.TREE),
 )
 
-# tile_x/tile_y ride along for per-tile lineage in the resumable path
-_BASE_COLS = ("page_id", "tile_x", "tile_y", "x", "y", "z",
-              "gz", "bz", "in_road", "in_building")
 
 
 # ---------------------------------------------------------------------
@@ -894,9 +891,16 @@ def full_pipeline_labels_resumable(
         out = step(lbl)
         out.write.mode("overwrite").parquet(path)
         out = spark.read.parquet(path)
+        # lineage `before`: for i > 0 `lbl` is the previous stage's
+        # parquet read (cheap rescan); at i == 0 it is the full
+        # un-materialized enrichment plan, and scanning it again just
+        # for per-tile rows_in would re-run PIP + raster over the
+        # corpus — the fold never adds or drops rows, so rows_in ==
+        # rows_out per tile and `out` substitutes exactly.
         append_stage_lineage(
             f"{checkpoint_dir}/_lineage", run_id, i, name,
-            before=lbl, after=out, label=labels, wall_sec=_t.time() - t0,
+            before=lbl if i > 0 else out, after=out,
+            label=labels, wall_sec=_t.time() - t0,
         )
         lbl = out
     return lbl.select("page_id", "label"), resumed

@@ -1319,7 +1319,12 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             if os.path.exists(marker):
                 try:
                     with open(marker) as fh:
-                        pid = int(fh.read().strip() or 0)
+                        # empty/corrupt marker must raise ValueError →
+                        # swept (pid 0 would signal our own process
+                        # group and read as alive forever)
+                        pid = int(fh.read().strip())
+                    if pid <= 0:
+                        raise ValueError(str(pid))
                     os.kill(pid, 0)  # signal 0: existence probe only
                     continue  # owner alive — never touch
                 except (ProcessLookupError, ValueError, OverflowError):
@@ -3701,22 +3706,33 @@ tris AS MATERIALIZED (
     )
 ),
 cocirc AS MATERIALIZED (
-  -- exactly-cocircular degeneracy probe: a 4th point EXACTLY on an
-  -- alpha-small triple's circumcircle means the Delaunay choice is
-  -- ambiguous and brute-force (keeps both diagonals) may diverge from
-  -- the engine's Bowyer-Watson; the engine raises
-  -- DegenerateTriangulationError on the same exact-equality condition
-  -- (operators/alpha_shape.py delaunay_triangles) so BOTH sides route
-  -- such components to the sentinel row. Measure-zero on jittered data.
+  -- exactly-cocircular degeneracy probe, mirroring the engine's bail
+  -- (operators/alpha_shape.py delaunay_triangles): the engine raises
+  -- when a point being INSERTED (lex = vid order, np.unique) lies
+  -- exactly on the sorted-vertex circumcircle of an alpha-small
+  -- triangle ALIVE in the partial triangulation. SQL equivalent: an
+  -- on-circle point q AFTER the triple in vid order (q.vid > t.k),
+  -- with no earlier point strictly inside the circumcircle (the
+  -- triple survives until q inserts). Without the two order
+  -- conditions the probe fires on dead/non-Delaunay triples the
+  -- engine never tests and the two sides diverge (round-4 review
+  -- repro). Both sides then route the component to the sentinel row.
+  -- Measure-zero on jittered data.
   SELECT DISTINCT t.component
   FROM tcand t
+  JOIN upts q
+    ON q.component = t.component
+   AND q.vid > t.k
+   AND (q.x - t.ux) * (q.x - t.ux)
+       + (q.y - t.uy) * (q.y - t.uy) = t.r2
   WHERE t.r2 < (1.0 / 0.3) * (1.0 / 0.3)
-    AND EXISTS (
-      SELECT 1 FROM upts q
-      WHERE q.component = t.component
-        AND q.vid != t.i AND q.vid != t.j AND q.vid != t.k
-        AND (q.x - t.ux) * (q.x - t.ux)
-            + (q.y - t.uy) * (q.y - t.uy) = t.r2
+    AND NOT EXISTS (
+      SELECT 1 FROM upts w
+      WHERE w.component = t.component
+        AND w.vid < q.vid
+        AND w.vid != t.i AND w.vid != t.j AND w.vid != t.k
+        AND (w.x - t.ux) * (w.x - t.ux)
+            + (w.y - t.uy) * (w.y - t.uy) < t.r2
     )
 ),
 tedges AS MATERIALIZED (
@@ -4229,8 +4245,8 @@ def q_pipeline_full_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry emission order.
 #
 # The round driver's correctness gate snapshots only the FIRST 50
-# entries of queries() (registration-order cap), so with 79 registered
-# queries the emission order decides which get an official driver row
+# entries of queries() (registration-order cap), so with more
+# registered queries than slots the emission order decides which get an official driver row
 # this round.  The order is DATA-DRIVEN: queries are sorted by the
 # latest round in which the committed CORRECTNESS_r*.json artifacts
 # show them fully green (never-certified first), so each round the
