@@ -146,3 +146,41 @@ def test_watermarked_window_closes_and_drops_late(spark):
         assert closed2.get((0, 7)) == 2  # unchanged; late row dropped
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_dedup_suppresses_across_batches(spark, tmp_path):
+    """Stateful streaming exact dedup: a content hash first seen in an
+    earlier drain suppresses every later arrival — state lives in the
+    checkpoint, not the batch. Single-drain output equals the batch
+    operator (driver oracle covers that); this pins the cross-drain
+    contract the oracle can't see."""
+    from urban_pointcloud_processing_spark.streaming.dedup import (
+        run_dedup_available_now,
+    )
+
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    batch1 = spark.createDataFrame(
+        [(5, "alpha"), (2, "alpha"), (9, "beta")], ["doc_id", "text"]
+    )
+    batch1.coalesce(1).write.mode("append").parquet(inp)
+    got1 = {
+        r["canonical_id"]: r["n_docs"]
+        for r in run_dedup_available_now(spark, inp, ckpt, out).collect()
+    }
+    assert got1 == {2: 2, 9: 1}
+
+    # second drain: a new file with one dup of 'alpha' + one new text —
+    # only the new text may emit, and 'alpha' keeps its original
+    # canonical (no re-emission, no canonical churn)
+    batch2 = spark.createDataFrame(
+        [(1, "alpha"), (7, "gamma")], ["doc_id", "text"]
+    )
+    batch2.coalesce(1).write.mode("append").parquet(inp)
+    got2 = {
+        r["canonical_id"]: r["n_docs"]
+        for r in run_dedup_available_now(spark, inp, ckpt, out).collect()
+    }
+    assert got2 == {2: 2, 9: 1, 7: 1}

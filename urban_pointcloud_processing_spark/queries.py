@@ -1263,33 +1263,20 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sessionize_stream",
-    """
-WITH ev AS (
-  SELECT event_id, user_id, CAST(epoch(ts) AS BIGINT) AS t
-  FROM events
-),
-flagged AS (
-  SELECT event_id, user_id, t,
-         CASE WHEN t - lag(t) OVER w > 1800 OR lag(t) OVER w IS NULL
-              THEN 1 ELSE 0 END AS is_new
-  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
-)
-SELECT event_id, user_id,
-       CAST(SUM(is_new) OVER (
-         PARTITION BY user_id ORDER BY t, event_id
-         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-FROM flagged
-""",
-)
-def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING sessionization (applyInPandasWithState, bounded
-    per-user state) drained with Trigger.AvailableNow over the events
-    table — must reproduce the batch window's session indices exactly
-    (same oracle as `sessionize`). Holds whenever the feed delivers a
-    user's events in time order across micro-batches, which the
-    single-file fixture drain does."""
+def _stream_scratch(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    """Fresh scratch dir for a streaming query's input copy +
+    checkpoint + sink, cleared at the start of every invocation so
+    repeated driver/bench runs don't accumulate state (ADVICE r02).
+    Keyed on the Spark app id so concurrent sessions never share a
+    checkpoint dir; the sf_dir digest is a STABLE hashlib hash (a
+    salted built-in hash() would make every process's path unique and
+    the cleanup a no-op). Stale siblings from DEAD runs are swept:
+    each dir carries an `owner.pid` marker written at creation, and a
+    sweep only removes a dir whose owner process no longer exists
+    (mtime alone is unsafe — nested checkpoint writes don't refresh
+    the top dir's mtime, so a long-lived concurrent run could look
+    stale; ADVICE r03). Markerless dirs (pre-marker leftovers) fall
+    back to a 24 h age threshold, far beyond any session length here."""
     import glob
     import hashlib
     import os
@@ -1297,22 +1284,7 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import time as _time
 
-    from .streaming.sessionize import run_sessionize_available_now
-
-    # Scratch path under a fixed recognizable prefix, cleared at the
-    # start of every invocation so repeated driver/bench runs don't
-    # accumulate input copies + checkpoint/output dirs (ADVICE r02).
-    # Keyed on the Spark app id so concurrent sessions never share a
-    # checkpoint dir; the sf_dir digest is a STABLE hashlib hash (a
-    # salted built-in hash() would make every process's path unique and
-    # the cleanup a no-op). Stale siblings from DEAD runs are swept:
-    # each dir carries an `owner.pid` marker written at creation, and a
-    # sweep only removes a dir whose owner process no longer exists
-    # (mtime alone is unsafe — nested checkpoint writes don't refresh
-    # the top dir's mtime, so a long-lived concurrent run could look
-    # stale; ADVICE r03). Markerless dirs (pre-marker leftovers) fall
-    # back to a 24 h age threshold, far beyond any session length here.
-    base = f"{tempfile.gettempdir()}/upcp_sess_q_"
+    base = f"{tempfile.gettempdir()}/{prefix}"
     for old in glob.glob(base + "*"):
         try:
             marker = os.path.join(old, "owner.pid")
@@ -1342,12 +1314,66 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(tmp, exist_ok=True)
     with open(os.path.join(tmp, "owner.pid"), "w") as fh:
         fh.write(str(os.getpid()))
+    return tmp
+
+
+
+@register(
+    "sessionize_stream",
+    """
+WITH ev AS (
+  SELECT event_id, user_id, CAST(epoch(ts) AS BIGINT) AS t
+  FROM events
+),
+flagged AS (
+  SELECT event_id, user_id, t,
+         CASE WHEN t - lag(t) OVER w > 1800 OR lag(t) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+)
+SELECT event_id, user_id,
+       CAST(SUM(is_new) OVER (
+         PARTITION BY user_id ORDER BY t, event_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+FROM flagged
+""",
+)
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sessionization (applyInPandasWithState, bounded
+    per-user state) drained with Trigger.AvailableNow over the events
+    table — must reproduce the batch window's session indices exactly
+    (same oracle as `sessionize`). Holds whenever the feed delivers a
+    user's events in time order across micro-batches, which the
+    single-file fixture drain does."""
+    from .streaming.sessionize import run_sessionize_available_now
+
+    tmp = _stream_scratch(spark, sf_dir, "upcp_sess_q_")
     events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id", "user_id", "ts"
     )
     inp = f"{tmp}/in"
     events.coalesce(1).write.mode("overwrite").parquet(inp)
     return run_sessionize_available_now(
+        spark, inp, f"{tmp}/ckpt", f"{tmp}/out"
+    )
+
+
+@register("exact_dedup_stream", D.EXACT_DEDUP_SQL)
+def q_exact_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact dedup (applyInPandasWithState keyed by the
+    256-bit content hash; seen-hash state persists in the checkpoint so
+    later micro-batches suppress previously-seen content) drained with
+    Trigger.AvailableNow over the documents table — the single-drain
+    output must equal the batch operator exactly (same oracle as
+    `exact_dedup`). Cross-batch suppression pinned by
+    tests/test_streaming.py."""
+    from .streaming.dedup import run_dedup_available_now
+
+    tmp = _stream_scratch(spark, sf_dir, "upcp_dedup_q_")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    inp = f"{tmp}/in"
+    docs.coalesce(1).write.mode("overwrite").parquet(inp)
+    return run_dedup_available_now(
         spark, inp, f"{tmp}/ckpt", f"{tmp}/out"
     )
 

@@ -1,0 +1,105 @@
+"""Stateful STREAMING exact dedup — the ingest-time dedup gate of a
+training-data pipeline (new documents arrive continuously; a document
+whose content hash was ever seen before is suppressed; the first
+arrival becomes the canonical).
+
+Spark expression: ``applyInPandasWithState`` keyed by the 256-bit
+content hash (the same key as the batch operator
+``operators.dedup.exact_dedup``). State per hash is a single boolean —
+bounded by the number of DISTINCT documents, never by arrivals — and
+persists in the streaming checkpoint, so a hash first seen in batch k
+suppresses every later arrival in batches k+1, k+2, … across drains.
+
+Single-drain (AvailableNow over a static table) output equals the
+batch operator exactly: one row per distinct text with the min doc_id
+as canonical + group size — which is how the registered query pairs it
+with the batch SQL oracle. Cross-batch suppression is pinned by
+tests/test_streaming.py (two-file drain).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+OUT_SCHEMA = StructType(
+    [
+        StructField("canonical_id", LongType()),
+        StructField("n_docs", LongType()),
+    ]
+)
+
+# state: has this hash been emitted already (in any earlier batch)?
+STATE_SCHEMA = StructType([StructField("seen", LongType())])
+
+
+def _dedup_group(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    ids: list[int] = []
+    for pdf in pdfs:
+        ids.extend(int(v) for v in pdf["doc_id"])
+    if state.exists:
+        # hash seen in an earlier batch → every arrival is a duplicate
+        return iter(())
+    state.update((1,))
+    return iter(
+        [pd.DataFrame({"canonical_id": [min(ids)], "n_docs": [len(ids)]})]
+    )
+
+
+def exact_dedup_stream(docs: DataFrame) -> DataFrame:
+    """(canonical_id, n_docs) per FIRST-SEEN content hash."""
+    hashed = docs.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("_h")
+    )
+    return hashed.groupBy("_h").applyInPandasWithState(
+        _dedup_group,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_dedup_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+) -> DataFrame:
+    """Drain the documents currently in input_dir (AvailableNow) into a
+    parquet sink; seen-hash state persists in the checkpoint so a later
+    drain over new files suppresses previously-seen content. Returns
+    ALL rows appended so far."""
+    raw = spark.readStream.schema(DOCS_SCHEMA).parquet(input_dir)
+    out = exact_dedup_stream(raw)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(OUT_SCHEMA).parquet(output_dir)
