@@ -206,3 +206,29 @@ def test_decontaminate_excludes_eval_slice(spark):
     flagged = [r for r in out if r["contaminated"]]
     assert flagged and all(r["n_hits"] >= 3 for r in flagged)
     assert all(r["n_hits"] < 3 for r in out if not r["contaminated"])
+
+
+def test_boilerplate_frac_flags_shared_fragments(spark):
+    """Docs sharing a boilerplate phrase (df > cap) get a positive
+    common fraction; a unique doc stays at 0."""
+    from urban_pointcloud_processing_spark.operators.dedup import (
+        boilerplate_frac,
+    )
+
+    boiler = "click here to subscribe now"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta"),
+            (2, boiler + " epsilon zeta eta theta"),
+            (3, boiler + " iota kappa lmbda mu"),
+            (4, "totally unique content with no shared fragments at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in boilerplate_frac(docs, 3, 2).collect()}
+    # the 3 shingles fully inside the boiler phrase appear in 3 docs
+    # (> cap 2) → common on docs 1-3; doc 4 shares nothing
+    for d in (1, 2, 3):
+        assert got[d]["n_common"] == 3, got[d]
+        assert got[d]["common_frac"] > 0.0
+    assert got[4]["n_common"] == 0 and got[4]["common_frac"] == 0.0

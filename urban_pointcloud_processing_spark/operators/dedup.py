@@ -661,3 +661,52 @@ SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
 FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
 WHERE d.doc_id % {bench_mod} != 0
 """
+
+
+# ----------------------------------------------------------------------
+# Cross-document boilerplate signal: the fraction of a doc's distinct
+# word-n-gram shingles that occur in MANY other documents (CCNet-style
+# common-fragment detection — flat web text has no line structure, so
+# the shingle is the dedup/boilerplate unit here, same as the near-dup
+# family above). Shuffles scale with the corpus shingle count (linear
+# in tokens); the document-frequency table is vocabulary-sized.
+# ----------------------------------------------------------------------
+
+def boilerplate_frac(docs: DataFrame, n: int = 3,
+                     df_cap: int = 2) -> DataFrame:
+    """(doc_id, n_shingles, n_common, common_frac) — n_common = this
+    doc's shingles whose corpus document-frequency exceeds df_cap."""
+    sh = shingle_table(docs, n)
+    dfreq = sh.groupBy("sid").agg(F.count("*").alias("df"))
+    return (
+        sh.join(dfreq, "sid")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("df") > df_cap).cast("long")).alias("n_common"),
+        )
+        .select(
+            "doc_id", "n_shingles", "n_common",
+            (
+                F.col("n_common").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("common_frac"),
+        )
+    )
+
+
+def boilerplate_frac_sql(n: int = 3, df_cap: int = 2) -> str:
+    return f"""
+WITH {shingle_cte_sql(n)},
+dfreq AS (SELECT sid, COUNT(*) AS df FROM shingles GROUP BY sid),
+per AS (
+  SELECT s.doc_id, COUNT(*) AS n_shingles,
+         SUM(CASE WHEN d.df > {df_cap} THEN 1 ELSE 0 END) AS n_common
+  FROM shingles s JOIN dfreq d ON d.sid = s.sid
+  GROUP BY s.doc_id
+)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_common AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS common_frac
+FROM per
+"""

@@ -801,6 +801,38 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(_docs(spark, sf_dir))
 
 
+@register("boilerplate_shingles", D.boilerplate_frac_sql(3, 2))
+def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate signal (CCNet common-fragment analog
+    for flat web text): per doc, the fraction of its distinct word-
+    3-gram shingles whose corpus document-frequency exceeds 2. The
+    doc-frequency table is vocabulary-sized; shuffles scale with the
+    corpus shingle count."""
+    return D.boilerplate_frac(_docs(spark, sf_dir), 3, 2)
+
+
+@register(
+    "token_histogram",
+    f"""
+SELECT tok, COUNT(*) AS n_occurrences
+FROM (SELECT unnest({T.tokens_sql('text')}) AS tok FROM documents)
+GROUP BY tok ORDER BY n_occurrences DESC, tok LIMIT 20
+""",
+)
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-20 (deterministic count-then-token
+    tie-break) — the tokenizer-training / vocabulary-analysis scan.
+    Map-side combine on the token key; top-k after the agg."""
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(T.tokens_expr(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "tok")
+        .limit(20)
+    )
+
+
 @register("ngram_jaccard", D.jaccard_pairs_sql(3, 0.5))
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs (shingle equi-join, never a
