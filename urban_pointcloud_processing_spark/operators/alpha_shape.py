@@ -64,7 +64,14 @@ class DegenerateTriangulationError(ValueError):
     raises this (→ sentinel row in cluster_alpha_shape) and the SQL
     oracle routes the component to its sentinel branch via an exact
     on-circle equality probe. Jittered/continuous data never hits the
-    exact-equality condition (measure zero)."""
+    exact-equality condition (measure zero).
+
+    Residual asymmetry (documented, not closed): the oracle's liveness
+    proxy (no earlier point strictly inside, sorted-order doubles) and
+    the engine's actual triangle-alive state (creation-order doubles)
+    could disagree only on inputs with an exact sorted-order equality
+    AND a sub-ulp near-tie in the other evaluation order simultaneously
+    — adversarial beyond the lattice class this guard exists for."""
 
 
 def delaunay_triangles(
@@ -101,24 +108,33 @@ def delaunay_triangles(
         for t in tris:
             (ux, uy), r2 = cc[t]
             d2 = (px - ux) * (px - ux) + (py - uy) * (py - uy)
-            if d2 <= r2:
-                if degen_r2 > 0.0 and t[0] < n and t[1] < n and t[2] < n:
-                    # evaluate the EXACT-equality degeneracy test on
-                    # the SORTED-vertex circumcircle — the same doubles
-                    # the SQL oracle's `cocirc` probe computes — so
-                    # engine and oracle fire on identical conditions
-                    # (the cavity test above may use a different float
-                    # evaluation order; only the firing test must
-                    # match). Cost: one recompute per cavity hit.
-                    ts = sorted(t)
-                    (uxs, uys), r2s = _circumcircle(
-                        allp[ts[0]], allp[ts[1]], allp[ts[2]]
+            if (
+                degen_r2 > 0.0
+                and t[0] < n and t[1] < n and t[2] < n
+                and np.isfinite(r2)
+                and d2 <= r2 * 1.0000000001
+            ):
+                # EXACT-equality degeneracy test on the SORTED-vertex
+                # circumcircle — the same doubles the SQL oracle's
+                # `cocirc` probe computes — so engine and oracle fire
+                # on identical conditions. The gate above is slightly
+                # WIDER than the cavity test (relative margin): the
+                # cached circumcircle is evaluated in creation order,
+                # and a point exactly on the sorted-order circle could
+                # otherwise sit an ulp outside the cached one and skip
+                # the probe the oracle fires (round-4 review). The
+                # margin only decides whether the exact probe RUNS;
+                # cavity membership below is unchanged.
+                ts = sorted(t)
+                (uxs, uys), r2s = _circumcircle(
+                    allp[ts[0]], allp[ts[1]], allp[ts[2]]
+                )
+                d2s = (px - uxs) * (px - uxs) + (py - uys) * (py - uys)
+                if d2s == r2s and r2s < degen_r2:
+                    raise DegenerateTriangulationError(
+                        f"point {p} exactly on circumcircle of {t}"
                     )
-                    d2s = (px - uxs) * (px - uxs) + (py - uys) * (py - uys)
-                    if d2s == r2s and r2s < degen_r2:
-                        raise DegenerateTriangulationError(
-                            f"point {p} exactly on circumcircle of {t}"
-                        )
+            if d2 <= r2:
                 bad.append(t)
         # boundary of the cavity = edges used by exactly one bad tri
         edge_count: dict[tuple[int, int], int] = {}

@@ -676,7 +676,10 @@ def boilerplate_frac(docs: DataFrame, n: int = 3,
                      df_cap: int = 2) -> DataFrame:
     """(doc_id, n_shingles, n_common, common_frac) — n_common = this
     doc's shingles whose corpus document-frequency exceeds df_cap."""
-    sh = shingle_table(docs, n)
+    # cached: the plan references the shingle table twice (df aggregate
+    # + join probe) and the explode/hash work dominates — same pattern
+    # as jaccard_pairs above
+    sh = shingle_table(docs, n).cache()
     dfreq = sh.groupBy("sid").agg(F.count("*").alias("df"))
     return (
         sh.join(dfreq, "sid")

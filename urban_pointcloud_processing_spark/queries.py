@@ -1395,9 +1395,11 @@ def q_exact_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING exact dedup (applyInPandasWithState keyed by the
     256-bit content hash; seen-hash state persists in the checkpoint so
     later micro-batches suppress previously-seen content) drained with
-    Trigger.AvailableNow over the documents table — the single-drain
-    output must equal the batch operator exactly (same oracle as
-    `exact_dedup`). Cross-batch suppression pinned by
+    Trigger.AvailableNow over the documents table — the input is
+    written as ONE file so the drain is one micro-batch, under which
+    the output equals the batch operator exactly (same oracle as
+    `exact_dedup`; see streaming/dedup.py for the multi-batch
+    first-seen contract). Cross-batch suppression pinned by
     tests/test_streaming.py."""
     from .streaming.dedup import run_dedup_available_now
 

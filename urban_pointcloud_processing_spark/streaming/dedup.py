@@ -10,11 +10,18 @@ bounded by the number of DISTINCT documents, never by arrivals — and
 persists in the streaming checkpoint, so a hash first seen in batch k
 suppresses every later arrival in batches k+1, k+2, … across drains.
 
-Single-drain (AvailableNow over a static table) output equals the
-batch operator exactly: one row per distinct text with the min doc_id
-as canonical + group size — which is how the registered query pairs it
-with the batch SQL oracle. Cross-batch suppression is pinned by
-tests/test_streaming.py (two-file drain).
+STREAM SEMANTICS (precise): the canonical is the min doc_id within
+the hash's FIRST micro-batch, and n_docs counts that batch's arrivals
+— later arrivals are suppressed, never merged (append-mode sinks
+cannot retract an emitted row). This equals the batch operator
+(global min + total count) exactly WHEN the first drain is a single
+micro-batch, which the registered query guarantees by writing the
+input as one file (AvailableNow over one file = one batch). A drain
+split across micro-batches (maxFilesPerTrigger, multiple files) keeps
+the same first-seen contract but may emit a non-global-min canonical
+and an undercounted n_docs — that is the streaming contract, not a
+bug, and tests/test_streaming.py pins it (two-file drain: 'alpha'
+keeps its original canonical, no re-emission).
 """
 
 from __future__ import annotations
@@ -55,12 +62,13 @@ def _dedup_group(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        # hash seen in an earlier batch → every arrival is a duplicate;
+        # skip the chunk materialization entirely
+        return iter(())
     ids: list[int] = []
     for pdf in pdfs:
         ids.extend(int(v) for v in pdf["doc_id"])
-    if state.exists:
-        # hash seen in an earlier batch → every arrival is a duplicate
-        return iter(())
     state.update((1,))
     return iter(
         [pd.DataFrame({"canonical_id": [min(ids)], "n_docs": [len(ids)]})]
@@ -90,7 +98,12 @@ def run_dedup_available_now(
     """Drain the documents currently in input_dir (AvailableNow) into a
     parquet sink; seen-hash state persists in the checkpoint so a later
     drain over new files suppresses previously-seen content. Returns
-    ALL rows appended so far."""
+    ALL rows appended so far.
+
+    Batch-equivalence caveat: output matches operators.dedup.exact_dedup
+    only if a hash's first drain is one micro-batch (see module
+    docstring) — callers wanting the batch-exact pairing must present
+    the initial corpus as a single file, as the registered query does."""
     raw = spark.readStream.schema(DOCS_SCHEMA).parquet(input_dir)
     out = exact_dedup_stream(raw)
     q = (
