@@ -73,6 +73,9 @@ EXTENDED = [
     "dedup_clusters",
     "decontaminate",
     "quality_filter",
+    "repetition_ngrams",
+    "boilerplate_shingles",
+    "token_histogram",
 ]
 
 # Queries timed for the scaling ratio: the flagship spatial-join +
