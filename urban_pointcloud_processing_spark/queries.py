@@ -931,6 +931,79 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_kmeans_topk(_embs(spark, sf_dir), 10, 50, 20, 3, 2, 3)
 
 
+@register(
+    "embed_quantize",
+    """
+WITH q AS (
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE)))) > 0
+              THEN list_max(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE)))) / 127.0
+              ELSE 1.0 END AS scale,
+         embedding
+  FROM embeddings
+),
+qq AS (
+  SELECT vec_id, scale,
+         CAST(len(embedding) AS INTEGER) AS n_dims,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)) AS qv,
+         embedding
+  FROM q
+)
+SELECT vec_id, scale, n_dims,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(qv, v -> v * v)),
+         (a, b) -> a + b) AS q_l2,
+       round(list_reduce(
+         list_prepend(0.0,
+           list_transform(range(1, n_dims + 1),
+             i -> (CAST(embedding[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE) * scale)
+                  * (CAST(embedding[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE) * scale))),
+         (a, b) -> a + b), 9) AS sse
+FROM qq
+""",
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit — the vector-store
+    compression step of an embedding pipeline: scale = max|x|/127,
+    q_i = round(x_i/scale); emits the integer ||q||² (exact) and the
+    float reconstruction SSE (ordered left fold, round-9). Pure
+    higher-order functions, one scan, no shuffle; the int8 payload
+    itself would be `transform(...).cast('array<tinyint>')` on write."""
+    c = F.col("embedding")
+    absmax = F.array_max(F.transform(c, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(absmax > 0, absmax / F.lit(127.0)).otherwise(F.lit(1.0))
+    emb = _embs(spark, sf_dir).select(
+        "vec_id", scale.alias("scale"), "embedding",
+        F.size(c).alias("n_dims"),
+    )
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") / F.col("scale")).cast("long"),
+    )
+    with_q = emb.select("vec_id", "scale", "n_dims", "embedding",
+                        qv.alias("qv"))
+    err = F.zip_with(
+        F.col("embedding"), F.col("qv"),
+        lambda x, q: (x.cast("double") - q.cast("double") * F.col("scale"))
+        * (x.cast("double") - q.cast("double") * F.col("scale")),
+    )
+    return with_q.select(
+        "vec_id", "scale", "n_dims",
+        F.aggregate(
+            F.transform(F.col("qv"), lambda v: v * v),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).alias("q_l2"),
+        F.round(
+            F.aggregate(err, F.lit(0.0), lambda a, b: a + b), 9
+        ).alias("sse"),
+    )
+
+
 @register("ann_lsh_topk", S.ann_lsh_topk_sql(10, 50))
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN top-10 — candidates from signature-band
