@@ -4425,16 +4425,18 @@ _PRIORITY_R04 = [
 ]
 
 
-def _certified_rounds() -> dict[str, int]:
+def _certified_rounds(root: str | None = None) -> dict[str, int]:
     """query name → latest round whose committed CORRECTNESS_r*.json
     records it fully green (rows+schema match, no error, and hash
-    match when a value-hash was taken)."""
+    match when a value-hash was taken). ``root`` overrides the repo
+    root (tests)."""
     import glob
     import json
     import os
     import re
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"_r(\d+)\.json$", path)
