@@ -801,6 +801,38 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(_docs(spark, sf_dir))
 
 
+@register(
+    "stratified_sample",
+    """
+SELECT doc_id, lang,
+       (doc_id * 2654435761) % 1000003 % 1000 AS bucket
+FROM documents
+WHERE (doc_id * 2654435761) % 1000003 % 1000 <
+      CASE lang WHEN 'en' THEN 800 WHEN 'de' THEN 500
+                WHEN 'fr' THEN 500 ELSE 250 END
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the data-mixing step of a
+    training-data pipeline (per-language keep rates, e.g. upsample
+    English, downsample the tail): each doc hashes to a bucket in
+    [0, 1000) via a fixed multiplicative hash of doc_id, kept iff
+    bucket < its stratum's rate. Reproducible across runs and engines
+    (no RNG), map-only, trivially composable with the filter chain."""
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000003) % F.lit(1000)
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(800))
+        .when(F.col("lang") == "de", F.lit(500))
+        .when(F.col("lang") == "fr", F.lit(500))
+        .otherwise(F.lit(250))
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+    )
+
+
 @register("boilerplate_shingles", D.boilerplate_frac_sql(3, 2))
 def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate signal (CCNet common-fragment analog
