@@ -802,6 +802,51 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_clean",
+    f"""
+WITH ded AS ({D.dedup_clusters_sql(3, 0.5).strip()}),
+qf AS (SELECT doc_id, {_QF_SQL['kept']} AS quality_kept FROM documents),
+dec AS ({D.decontaminate_sql(3, 97, 3).strip()})
+SELECT d.doc_id, q.quality_kept, d.contaminated, de.is_survivor,
+       (q.quality_kept AND NOT d.contaminated AND de.is_survivor) AS kept
+FROM dec d
+JOIN qf q ON q.doc_id = d.doc_id
+JOIN ded de ON de.doc_id = d.doc_id
+""",
+)
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text-pipeline capstone composite (the `pipeline_full` of the
+    training-data side): one verdict row per TRAINING document — kept
+    iff it passes the Gopher-style quality gate AND is not contaminated
+    against the eval slice AND is the canonical survivor of its
+    MinHash+LSH near-dup cluster. Composes three separately-green
+    operators; each stays its proven distributed shape (quality =
+    map-only scan, contamination = broadcast eval shingles, dedup CC =
+    dup-subgraph propagation)."""
+    docs = _docs(spark, sf_dir)
+    qf = docs.select(
+        "doc_id",
+        T.quality_filter_cols_expr(F.col("text"))["kept"].alias(
+            "quality_kept"
+        ),
+    )
+    dec = D.decontaminate(docs, 3, 97, 3).select("doc_id", "contaminated")
+    ded = D.dedup_clusters(docs, 3, 0.5).select("doc_id", "is_survivor")
+    return (
+        dec.join(qf, "doc_id")
+        .join(ded, "doc_id")
+        .select(
+            "doc_id", "quality_kept", "contaminated", "is_survivor",
+            (
+                F.col("quality_kept")
+                & ~F.col("contaminated")
+                & F.col("is_survivor")
+            ).alias("kept"),
+        )
+    )
+
+
+@register(
     "stratified_sample",
     """
 SELECT doc_id, lang,
