@@ -878,6 +878,84 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_quantile_exprs(q: float, name: str) -> list:
+    """Exact interpolated quantile of v per group from rank-selected
+    order statistics (no arrays, no approx_percentile): rank =
+    (n-1)·q, value = v_floor + frac·(v_ceil − v_floor). The rank
+    expressions are PER-ROW (n is constant within a group) and enter
+    the aggregate through MAX, so neither engine nests aggregates.
+    Every double op mirrors the oracle."""
+    rank_row = (F.col("n") - F.lit(1)).cast("double") * F.lit(q)
+    fl_row = F.floor(rank_row)
+    vlo = F.max(F.when(F.col("rn") == fl_row, F.col("v")))
+    vhi = F.coalesce(
+        F.max(F.when(F.col("rn") == fl_row + 1, F.col("v"))), vlo
+    )
+    frac = F.max(rank_row) - F.max(fl_row.cast("double"))
+    return [(vlo + frac * (vhi - vlo)).alias(name)]
+
+
+_LQ_SQL_TMPL = """
+  MAX(CASE WHEN rn = CAST(floor(CAST(mx_n - 1 AS DOUBLE) * {q}) AS BIGINT)
+      THEN v END)
+  + (MAX(CAST(mx_n - 1 AS DOUBLE) * {q})
+     - MAX(CAST(CAST(floor(CAST(mx_n - 1 AS DOUBLE) * {q}) AS BIGINT)
+                AS DOUBLE)))
+  * (COALESCE(
+       MAX(CASE WHEN rn = CAST(floor(CAST(mx_n - 1 AS DOUBLE) * {q})
+                               AS BIGINT) + 1 THEN v END),
+       MAX(CASE WHEN rn = CAST(floor(CAST(mx_n - 1 AS DOUBLE) * {q})
+                               AS BIGINT) THEN v END))
+     - MAX(CASE WHEN rn = CAST(floor(CAST(mx_n - 1 AS DOUBLE) * {q})
+                               AS BIGINT) THEN v END)) AS {name}"""
+
+
+@register(
+    "lang_quantiles",
+    f"""
+WITH base AS (
+  SELECT lang, CAST(n_chars AS DOUBLE) AS v, doc_id FROM documents
+),
+cnt AS (SELECT lang, COUNT(*) AS n FROM base GROUP BY lang),
+rnk AS (
+  SELECT lang, v,
+         row_number() OVER (PARTITION BY lang ORDER BY v, doc_id) - 1 AS rn
+  FROM base
+),
+j AS (
+  SELECT r.lang, r.v, r.rn, c.n AS mx_n
+  FROM rnk r JOIN cnt c ON c.lang = r.lang
+)
+SELECT lang, CAST(MAX(mx_n) AS BIGINT) AS n_docs,
+{_LQ_SQL_TMPL.format(q=0.5, name='median_chars')},
+{_LQ_SQL_TMPL.format(q=0.9, name='p90_chars')}
+FROM j GROUP BY lang
+""",
+)
+def q_lang_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-language doc-length quantiles (median + p90) via
+    rank-selected order statistics + linear interpolation — the
+    scalable exact alternative to approx_percentile: one window
+    ranking pass + one aggregate, no per-group arrays, no sketches.
+    Tie order (equal v) cannot change the interpolated result."""
+    from pyspark.sql import Window
+
+    base = _docs(spark, sf_dir).select(
+        "lang", F.col("n_chars").cast("double").alias("v"), "doc_id"
+    )
+    cnt = base.groupBy("lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy("v", "doc_id")
+    rnk = base.select(
+        "lang", "v", (F.row_number().over(w) - 1).alias("rn")
+    )
+    j = rnk.join(F.broadcast(cnt), "lang")
+    return j.groupBy("lang").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        *_lang_quantile_exprs(0.5, "median_chars"),
+        *_lang_quantile_exprs(0.9, "p90_chars"),
+    )
+
+
 @register("boilerplate_shingles", D.boilerplate_frac_sql(3, 2))
 def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate signal (CCNet common-fragment analog
