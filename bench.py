@@ -76,6 +76,9 @@ EXTENDED = [
     "repetition_ngrams",
     "boilerplate_shingles",
     "token_histogram",
+    "stratified_sample",
+    "embed_quantize",
+    "lang_quantiles",
 ]
 
 # Queries timed for the scaling ratio: the flagship spatial-join +
