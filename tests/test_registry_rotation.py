@@ -10,9 +10,13 @@ from urban_pointcloud_processing_spark import queries as Q
 
 
 def test_certified_rounds_reads_committed_artifacts():
+    import os
+
     cert = Q._certified_rounds()
-    # r03 is committed and fully green for its 50 rows
-    r03 = json.load(open("/root/repo/CORRECTNESS_r03.json"))
+    # r03 is committed and fully green for its 50 rows; derive the repo
+    # root the same way _certified_rounds does (portable checkouts)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(Q.__file__)))
+    r03 = json.load(open(os.path.join(root, "CORRECTNESS_r03.json")))
     for name in r03:
         assert cert.get(name, -1) >= 3, name
 

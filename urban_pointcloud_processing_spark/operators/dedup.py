@@ -263,9 +263,13 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_dedup(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
-    """LSH candidates verified with exact Jaccard ≥ threshold."""
-    sh = shingle_table(docs, n).cache()
+def minhash_lsh_dedup(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                      sh: DataFrame | None = None) -> DataFrame:
+    """LSH candidates verified with exact Jaccard ≥ threshold.
+    ``sh`` shares a pre-built (cached) shingle table across operators
+    composing several shingle consumers (corpus_clean)."""
+    if sh is None:
+        sh = shingle_table(docs, n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sig = minhash_signatures(docs, n, sh=sh)
     cand = lsh_candidate_pairs(sig)
@@ -551,12 +555,15 @@ def graph_components_minlabel(
 
 
 def dedup_clusters(docs: DataFrame, n: int = 3,
-                   threshold: float = 0.5) -> DataFrame:
+                   threshold: float = 0.5,
+                   sh: DataFrame | None = None) -> DataFrame:
     """(doc_id, canonical_id, cluster_size, is_survivor) — survivor
     selection over the MinHash+LSH near-dup pair graph: CC by min-label
     propagation, canonical = min doc_id per component, singletons keep
     themselves."""
-    pairs = minhash_lsh_dedup(docs, n, threshold).localCheckpoint(eager=True)
+    pairs = minhash_lsh_dedup(docs, n, threshold, sh=sh).localCheckpoint(
+        eager=True
+    )
     # only docs that appear in a pair need propagation — singletons are
     # trivially their own component, so the iterative CC runs on the
     # (tiny) dup subgraph, not the corpus
@@ -616,12 +623,14 @@ FROM comp c JOIN sizes s ON s.canonical_id = c.canonical_id
 # ----------------------------------------------------------------------
 
 def decontaminate(docs: DataFrame, n: int = 3, bench_mod: int = 97,
-                  min_hits: int = 3) -> DataFrame:
+                  min_hits: int = 3,
+                  sh: DataFrame | None = None) -> DataFrame:
     """(doc_id, n_hits, contaminated) for every TRAINING doc (not in
     the eval slice): n_hits = distinct n-gram shingles shared with any
     eval doc. Shuffle-free on the eval side: the distinct eval shingle
-    set broadcasts."""
-    sh = shingle_table(docs, n)
+    set broadcasts. ``sh`` shares a pre-built shingle table."""
+    if sh is None:
+        sh = shingle_table(docs, n)
     bench_sids = (
         sh.filter(F.col("doc_id") % bench_mod == 0)
         .select("sid").distinct()

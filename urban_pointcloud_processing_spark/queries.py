@@ -806,43 +806,71 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH ded AS ({D.dedup_clusters_sql(3, 0.5).strip()}),
 qf AS (SELECT doc_id, {_QF_SQL['kept']} AS quality_kept FROM documents),
-dec AS ({D.decontaminate_sql(3, 97, 3).strip()})
-SELECT d.doc_id, q.quality_kept, d.contaminated, de.is_survivor,
-       (q.quality_kept AND NOT d.contaminated AND de.is_survivor) AS kept
-FROM dec d
-JOIN qf q ON q.doc_id = d.doc_id
-JOIN ded de ON de.doc_id = d.doc_id
+dec AS ({D.decontaminate_sql(3, 97, 3).strip()}),
+g AS (
+  SELECT d.doc_id, q.quality_kept, d.contaminated,
+         (q.quality_kept AND NOT d.contaminated) AS passes,
+         de.canonical_id
+  FROM dec d
+  JOIN qf q ON q.doc_id = d.doc_id
+  JOIN ded de ON de.doc_id = d.doc_id
+),
+elect AS (
+  SELECT canonical_id, MIN(doc_id) AS survivor_id
+  FROM g WHERE passes GROUP BY canonical_id
+)
+SELECT g.doc_id, g.quality_kept, g.contaminated,
+       COALESCE(g.doc_id = e.survivor_id, FALSE) AS is_survivor,
+       (g.passes AND COALESCE(g.doc_id = e.survivor_id, FALSE)) AS kept
+FROM g LEFT JOIN elect e ON e.canonical_id = g.canonical_id
 """,
 )
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The text-pipeline capstone composite (the `pipeline_full` of the
     training-data side): one verdict row per TRAINING document — kept
     iff it passes the Gopher-style quality gate AND is not contaminated
-    against the eval slice AND is the canonical survivor of its
-    MinHash+LSH near-dup cluster. Composes three separately-green
-    operators; each stays its proven distributed shape (quality =
-    map-only scan, contamination = broadcast eval shingles, dedup CC =
-    dup-subgraph propagation)."""
+    against the eval slice AND is the ELECTED survivor of its
+    MinHash+LSH near-dup cluster. Survivor election runs AMONG the
+    gate-passing cluster members (min doc_id), so a cluster whose
+    min-id member fails a gate still contributes its best clean copy —
+    pre-gate canonical election would silently drop such clusters'
+    content entirely. Composes three separately-green operators over
+    ONE shared cached shingle table; each keeps its proven distributed
+    shape (quality = map-only scan, contamination = broadcast eval
+    shingles, dedup CC = dup-subgraph propagation)."""
     docs = _docs(spark, sf_dir)
+    sh = D.shingle_table(docs, 3).cache()
     qf = docs.select(
         "doc_id",
         T.quality_filter_cols_expr(F.col("text"))["kept"].alias(
             "quality_kept"
         ),
     )
-    dec = D.decontaminate(docs, 3, 97, 3).select("doc_id", "contaminated")
-    ded = D.dedup_clusters(docs, 3, 0.5).select("doc_id", "is_survivor")
-    return (
+    dec = D.decontaminate(docs, 3, 97, 3, sh=sh).select(
+        "doc_id", "contaminated"
+    )
+    clus = D.dedup_clusters(docs, 3, 0.5, sh=sh).select(
+        "doc_id", "canonical_id"
+    )
+    g = (
         dec.join(qf, "doc_id")
-        .join(ded, "doc_id")
-        .select(
-            "doc_id", "quality_kept", "contaminated", "is_survivor",
-            (
-                F.col("quality_kept")
-                & ~F.col("contaminated")
-                & F.col("is_survivor")
-            ).alias("kept"),
+        .join(clus, "doc_id")
+        .withColumn(
+            "passes", F.col("quality_kept") & ~F.col("contaminated")
         )
+    )
+    elect = (
+        g.filter(F.col("passes"))
+        .groupBy("canonical_id")
+        .agg(F.min("doc_id").alias("survivor_id"))
+    )
+    is_surv = F.coalesce(
+        F.col("doc_id") == F.col("survivor_id"), F.lit(False)
+    )
+    return g.join(elect, "canonical_id", "left").select(
+        "doc_id", "quality_kept", "contaminated",
+        is_surv.alias("is_survivor"),
+        (F.col("passes") & is_surv).alias("kept"),
     )
 
 
@@ -850,9 +878,9 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stratified_sample",
     """
 SELECT doc_id, lang,
-       (doc_id * 2654435761) % 1000003 % 1000 AS bucket
+       ((doc_id % 1000003) * 2654435761) % 1000003 % 1000 AS bucket
 FROM documents
-WHERE (doc_id * 2654435761) % 1000003 % 1000 <
+WHERE ((doc_id % 1000003) * 2654435761) % 1000003 % 1000 <
       CASE lang WHEN 'en' THEN 800 WHEN 'de' THEN 500
                 WHEN 'fr' THEN 500 ELSE 250 END
 """,
@@ -863,8 +891,14 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     English, downsample the tail): each doc hashes to a bucket in
     [0, 1000) via a fixed multiplicative hash of doc_id, kept iff
     bucket < its stratum's rate. Reproducible across runs and engines
-    (no RNG), map-only, trivially composable with the filter chain."""
-    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000003) % F.lit(1000)
+    (no RNG), map-only, trivially composable with the filter chain.
+    doc_id is reduced mod 1000003 BEFORE the multiply — identical
+    buckets for non-negative ids, and (10^6)·2654435761 < 2^63 so the
+    product can never wrap at web-scale id ranges (the unreduced form
+    overflows i64 past doc_id ≈ 3.5e9)."""
+    bucket = (
+        (F.col("doc_id") % F.lit(1000003)) * F.lit(2654435761)
+    ) % F.lit(1000003) % F.lit(1000)
     rate = (
         F.when(F.col("lang") == "en", F.lit(800))
         .when(F.col("lang") == "de", F.lit(500))
@@ -895,19 +929,14 @@ def _lang_quantile_exprs(q: float, name: str) -> list:
     return [(vlo + frac * (vhi - vlo)).alias(name)]
 
 
+# per-row rank columns fl{t}/rk{t} are precomputed in the j CTE so the
+# interpolation references each expression once (no copy-sync hazard)
 _LQ_SQL_TMPL = """
-  MAX(CASE WHEN rn = CAST(floor(CAST(mx_n - 1 AS DOUBLE) * {q}) AS BIGINT)
-      THEN v END)
-  + (MAX(CAST(mx_n - 1 AS DOUBLE) * {q})
-     - MAX(CAST(CAST(floor(CAST(mx_n - 1 AS DOUBLE) * {q}) AS BIGINT)
-                AS DOUBLE)))
-  * (COALESCE(
-       MAX(CASE WHEN rn = CAST(floor(CAST(mx_n - 1 AS DOUBLE) * {q})
-                               AS BIGINT) + 1 THEN v END),
-       MAX(CASE WHEN rn = CAST(floor(CAST(mx_n - 1 AS DOUBLE) * {q})
-                               AS BIGINT) THEN v END))
-     - MAX(CASE WHEN rn = CAST(floor(CAST(mx_n - 1 AS DOUBLE) * {q})
-                               AS BIGINT) THEN v END)) AS {name}"""
+  MAX(CASE WHEN rn = fl{t} THEN v END)
+  + (MAX(rk{t}) - MAX(CAST(fl{t} AS DOUBLE)))
+  * (COALESCE(MAX(CASE WHEN rn = fl{t} + 1 THEN v END),
+              MAX(CASE WHEN rn = fl{t} THEN v END))
+     - MAX(CASE WHEN rn = fl{t} THEN v END)) AS {name}"""
 
 
 @register(
@@ -915,6 +944,7 @@ _LQ_SQL_TMPL = """
     f"""
 WITH base AS (
   SELECT lang, CAST(n_chars AS DOUBLE) AS v, doc_id FROM documents
+  WHERE n_chars IS NOT NULL
 ),
 cnt AS (SELECT lang, COUNT(*) AS n FROM base GROUP BY lang),
 rnk AS (
@@ -923,12 +953,16 @@ rnk AS (
   FROM base
 ),
 j AS (
-  SELECT r.lang, r.v, r.rn, c.n AS mx_n
+  SELECT r.lang, r.v, r.rn, c.n AS mx_n,
+         CAST(c.n - 1 AS DOUBLE) * 0.5 AS rk50,
+         CAST(floor(CAST(c.n - 1 AS DOUBLE) * 0.5) AS BIGINT) AS fl50,
+         CAST(c.n - 1 AS DOUBLE) * 0.9 AS rk90,
+         CAST(floor(CAST(c.n - 1 AS DOUBLE) * 0.9) AS BIGINT) AS fl90
   FROM rnk r JOIN cnt c ON c.lang = r.lang
 )
 SELECT lang, CAST(MAX(mx_n) AS BIGINT) AS n_docs,
-{_LQ_SQL_TMPL.format(q=0.5, name='median_chars')},
-{_LQ_SQL_TMPL.format(q=0.9, name='p90_chars')}
+{_LQ_SQL_TMPL.format(t=50, name='median_chars')},
+{_LQ_SQL_TMPL.format(t=90, name='p90_chars')}
 FROM j GROUP BY lang
 """,
 )
@@ -940,8 +974,12 @@ def q_lang_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tie order (equal v) cannot change the interpolated result."""
     from pyspark.sql import Window
 
-    base = _docs(spark, sf_dir).select(
-        "lang", F.col("n_chars").cast("double").alias("v"), "doc_id"
+    # NULL guard mirrored in the oracle: Spark orders NULLS FIRST,
+    # DuckDB NULLS LAST — a NULL n_chars would shift every rank
+    base = (
+        _docs(spark, sf_dir)
+        .filter(F.col("n_chars").isNotNull())
+        .select("lang", F.col("n_chars").cast("double").alias("v"), "doc_id")
     )
     cnt = base.groupBy("lang").agg(F.count("*").alias("n"))
     w = Window.partitionBy("lang").orderBy("v", "doc_id")
