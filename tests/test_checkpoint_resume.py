@@ -56,3 +56,76 @@ def test_checkpoint_resume_and_lineage(spark, sf_dir):
         assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _stage_bytes(root):
+    """{relpath: file bytes} for every data file under the stage dirs."""
+    import os
+
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        if "_lineage" in dirpath:
+            continue
+        for f in files:
+            if f.endswith(".crc"):
+                continue
+            p = os.path.join(dirpath, f)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, root)] = fh.read()
+    return out
+
+
+def test_uncommitted_stage_not_resumed(spark):
+    """A stage table without its _SUCCESS job-commit marker (job killed
+    mid-commit / committer v2 partial output) must be RECOMPUTED, even
+    though its parquet reads back fine — resuming from it would
+    silently drop label state (ADVICE r04)."""
+    import glob
+    import os
+
+    tmp = tempfile.mkdtemp(prefix="upcp_ckpt_uncommitted_")
+    try:
+        pages = RasterEnricher(raster_df(spark))(
+            pages_from_orders(spark, "/root/testdata/sf0.001")
+        )
+        p1 = Pipeline(_procs(), checkpoint_dir=tmp, run_id="r1")
+        out1 = p1.run(pages).select("page_id", "label").collect()
+
+        # simulate a mid-commit kill of stage 0: marker gone AND one
+        # data file missing — readable, non-empty, but incomplete
+        stage0 = f"{tmp}/stage_00_ground_surface"
+        os.remove(f"{stage0}/_SUCCESS")
+        parts = sorted(glob.glob(f"{stage0}/part-*"))
+        assert len(parts) > 1, "fixture must write >1 part file"
+        os.remove(parts[0])
+
+        p2 = Pipeline(_procs(), checkpoint_dir=tmp, run_id="r2")
+        out2 = p2.run(pages).select("page_id", "label").collect()
+        # stage 0 recomputed (not resumed); stage 1 still resumes
+        assert p2.resumed_stages == ["noise_below_ground"]
+        assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+        assert os.path.exists(f"{stage0}/_SUCCESS")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_rerun_leaves_completed_stages_byte_identical(spark):
+    """Idempotent re-run contract (reference resume analog
+    scripts/ahn_batch_processor.py:53-57): re-running over a directory
+    of fully committed stage tables must replace nothing and duplicate
+    nothing — every stage data file stays byte-identical."""
+    tmp = tempfile.mkdtemp(prefix="upcp_ckpt_idem_")
+    try:
+        pages = RasterEnricher(raster_df(spark))(
+            pages_from_orders(spark, "/root/testdata/sf0.001")
+        )
+        p1 = Pipeline(_procs(), checkpoint_dir=tmp, run_id="r1")
+        p1.run(pages).select("page_id", "label").collect()
+        before = _stage_bytes(tmp)
+
+        p2 = Pipeline(_procs(), checkpoint_dir=tmp, run_id="r2")
+        p2.run(pages).select("page_id", "label").collect()
+        assert p2.resumed_stages == ["ground_surface", "noise_below_ground"]
+        assert _stage_bytes(tmp) == before
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

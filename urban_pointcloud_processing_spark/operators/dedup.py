@@ -146,7 +146,7 @@ JACCARD_DF_CAP = 1000
 
 def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
                   df_cap: int = JACCARD_DF_CAP) -> DataFrame:
-    sh = shingle_table(docs, n).cache()
+    sh = shingle_table(docs, n).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     hot = (
         sh.groupBy("sid")
@@ -218,7 +218,7 @@ def minhash_signatures(
     docs: DataFrame, n: int = 3, sh: DataFrame | None = None
 ) -> DataFrame:
     """(doc_id, mh0..mh{K-1}) — K min-hashes over the shingle set.
-    Pass ``sh`` to reuse an already-built (cached) shingle table."""
+    Pass ``sh`` to reuse an already-materialized shingle table."""
     if sh is None:
         sh = shingle_table(docs, n)
     aggs = [
@@ -266,10 +266,10 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
 def minhash_lsh_dedup(docs: DataFrame, n: int = 3, threshold: float = 0.5,
                       sh: DataFrame | None = None) -> DataFrame:
     """LSH candidates verified with exact Jaccard ≥ threshold.
-    ``sh`` shares a pre-built (cached) shingle table across operators
+    ``sh`` shares a pre-built (materialized) shingle table across operators
     composing several shingle consumers (corpus_clean)."""
     if sh is None:
-        sh = shingle_table(docs, n).cache()
+        sh = shingle_table(docs, n).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sig = minhash_signatures(docs, n, sh=sh)
     cand = lsh_candidate_pairs(sig)
@@ -685,10 +685,14 @@ def boilerplate_frac(docs: DataFrame, n: int = 3,
                      df_cap: int = 2) -> DataFrame:
     """(doc_id, n_shingles, n_common, common_frac) — n_common = this
     doc's shingles whose corpus document-frequency exceeds df_cap."""
-    # cached: the plan references the shingle table twice (df aggregate
+    # materialized once (localCheckpoint, NOT .cache(): a cached plan
+    # registers in the CacheManager and outlives the query in a
+    # long-lived session, whereas a checkpointed RDD is released by the
+    # ContextCleaner once the result is dereferenced — ADVICE r04):
+    # the plan references the shingle table twice (df aggregate
     # + join probe) and the explode/hash work dominates — same pattern
     # as jaccard_pairs above
-    sh = shingle_table(docs, n).cache()
+    sh = shingle_table(docs, n).localCheckpoint(eager=True)
     dfreq = sh.groupBy("sid").agg(F.count("*").alias("df"))
     return (
         sh.join(dfreq, "sid")
@@ -721,4 +725,115 @@ SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
        CAST(n_common AS BIGINT) AS n_common,
        CAST(n_common AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS common_frac
 FROM per
+"""
+
+
+# ----------------------------------------------------------------------
+# Span-level exact substring dedup (repeated >=k-token passages ACROSS
+# documents) — the "dedup repeated 50-token passages" step of a
+# training-data pipeline; complements doc-level exact_dedup (whole
+# content) and the shingle near-dup family (whole-doc similarity).
+# Reference has no analog (point-cloud domain); the operator follows
+# the suffix-array/ExactSubstr shape re-expressed relationally:
+# positional k-gram rolling keys -> cross-doc frequency gate ->
+# per-doc interval union of the flagged windows.
+# ----------------------------------------------------------------------
+
+def span_dedup(docs: DataFrame, k: int = 8) -> DataFrame:
+    """(doc_id, span_start, span_end, span_tokens, n_dup_grams): maximal
+    merged token intervals covered by k-token windows that appear in at
+    least one OTHER document.
+
+    Scale shape: positional k-grams are keyed by sha2-256 of the gram
+    text (32-byte shuffle rows; collisions 2^-128 — same contract as
+    exact_dedup), the frequency gate is one groupBy with map-side
+    combine, the flagged-position join is an equi-join on the gram key,
+    and the interval union is a per-DOCUMENT window over flagged
+    positions only — bounded by a single document's token count, never
+    corpus-sized. No all-pairs stage anywhere.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_expr(F.col("text"))
+    # positional (non-distinct) k-grams, i = 1-based start token index
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(k) + 1),
+            lambda i: F.concat_ws(
+                " ", *[F.get(toks, i - 1 + F.lit(j)) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select(
+        "doc_id", F.posexplode(grams).alias("p", "gram")
+    ).select(
+        "doc_id",
+        (F.col("p") + 1).cast("long").alias("i"),
+        F.sha2(F.col("gram"), 256).alias("h"),
+    )
+    hot = (
+        g.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("h")
+    )
+    flagged = g.join(hot, "h").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    is_new = F.when(
+        F.col("i") - F.lag("i").over(w) > k, F.lit(1)
+    ).when(F.lag("i").over(w).isNull(), F.lit(1)).otherwise(F.lit(0))
+    spans = (
+        flagged.withColumn("is_new", is_new)
+        .withColumn(
+            "span_id",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("i").alias("span_start"),
+            (F.max("i") + F.lit(k) - 1).cast("long").alias("span_end"),
+            F.count("*").alias("n_dup_grams"),
+        )
+    )
+    return spans.select(
+        "doc_id", "span_start", "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        "n_dup_grams",
+    )
+
+
+def span_dedup_sql(k: int = 8) -> str:
+    """DuckDB oracle: identical span arithmetic, grouped by the RAW
+    gram text (ground truth the sha2 keying must reproduce)."""
+    parts = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
+    return f"""
+WITH toks AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+pos AS (
+  SELECT doc_id, t,
+         unnest(CASE WHEN len(t) >= {k} THEN range(1, len(t) - {k} + 2)
+                     ELSE CAST([] AS BIGINT[]) END) AS i
+  FROM toks
+),
+g AS (SELECT doc_id, i, {parts} AS gram FROM pos),
+hot AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+f AS (SELECT g.doc_id, g.i FROM g JOIN hot USING (gram)),
+flg AS (
+  SELECT doc_id, i,
+         CASE WHEN i - lag(i) OVER w > {k} OR lag(i) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+sp AS (
+  SELECT doc_id, i, SUM(is_new) OVER (
+    PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM flg
+)
+SELECT doc_id, MIN(i) AS span_start,
+       CAST(MAX(i) + {k} - 1 AS BIGINT) AS span_end,
+       CAST(MAX(i) + {k} - 1 - MIN(i) + 1 AS BIGINT) AS span_tokens,
+       COUNT(*) AS n_dup_grams
+FROM sp GROUP BY doc_id, span_id
 """

@@ -371,6 +371,11 @@ def region_grow(
     edges.unpersist()
     for df in cc_persists:
         df.unpersist()
+    # accepted is checkpointed, so ptsv's only remaining consumer is the
+    # single final join — unpersist now (recomputing the map-only voxel
+    # columns once costs ~a cache read) so no cached plan outlives the
+    # call in a long-lived session
+    ptsv.unpersist()
     out = ptsv.join(F.broadcast(accepted), "vcell", "left").withColumn(
         "grown", F.col("_grown").isNotNull()
     )

@@ -868,18 +868,27 @@ def full_pipeline_labels_resumable(
     (north_rule resumability; reference analog
     scripts/ahn_batch_processor.py:53-57 — completed tiles skipped on
     rerun). A rerun over the same directory skips every stage whose
-    table reads back, so a killed job resumes at the first incomplete
-    stage with identical results (parquet round-trips the exact
-    doubles). Returns (labels_df, resumed_stage_names)."""
+    table COMMITTED: resume requires the ``_SUCCESS`` job-commit
+    marker, not just readable parquet — a job killed mid-commit (or
+    run with fileoutputcommitter algorithm v2) can leave a partially
+    written but readable directory, and resuming from it would
+    silently drop label state (ADVICE r04). Stages without the marker
+    are recomputed (mode="overwrite" replaces the partial output), so
+    a killed job resumes at the first uncommitted stage with identical
+    results (parquet round-trips the exact doubles). Returns
+    (labels_df, resumed_stage_names)."""
     import time as _t
 
     from .lineage import append_stage_lineage
+    from .pipeline import stage_table_committed
 
     lbl = _base(spark, sf_dir).withColumn("label", F.lit(0))
     resumed: list[str] = []
     for i, (name, labels, step) in enumerate(pipeline_stages()):
         path = f"{checkpoint_dir}/stage_{i:02d}_{name}"
         try:
+            if not stage_table_committed(spark, path):
+                raise FileNotFoundError(f"{path}/_SUCCESS")
             done = spark.read.parquet(path)
             done.head(1)  # force footer read: empty/corrupt → recompute
             lbl = done

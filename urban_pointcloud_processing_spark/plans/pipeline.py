@@ -71,6 +71,26 @@ class StageMetric:
     wall_sec: float
 
 
+def stage_table_committed(spark, path: str) -> bool:
+    """True iff ``path`` holds a fully job-committed stage table:
+    requires the ``_SUCCESS`` marker, not just readable parquet — a
+    job killed mid-commit (or fileoutputcommitter algorithm v2) can
+    leave a partially written but readable directory, and resuming
+    from it would silently drop label state (ADVICE r04). Probed
+    through the Hadoop FileSystem API so it works identically for
+    local paths here and hdfs:///s3a:// stage tables on a cluster;
+    any probe failure reads as uncommitted (fail closed ⇒ recompute,
+    mode="overwrite" replaces the partial output)."""
+    try:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+        fs = jpath.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        return bool(fs.exists(jpath))
+    except Exception:
+        return False
+
+
 @dataclass
 class Pipeline:
     """Ordered fold with optional per-stage materialization + metrics.
@@ -101,6 +121,8 @@ class Pipeline:
             if self.checkpoint_dir is not None:
                 path = f"{self.checkpoint_dir}/stage_{i:02d}_{proc.name}"
                 try:
+                    if not stage_table_committed(spark, path):
+                        raise FileNotFoundError(f"{path}/_SUCCESS")
                     df = spark.read.parquet(path)
                     df.head(1)  # force footer read: empty/corrupt → retry
                     self.resumed_stages.append(proc.name)

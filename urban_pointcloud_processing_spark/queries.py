@@ -837,9 +837,22 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     content entirely. Composes three separately-green operators over
     ONE shared cached shingle table; each keeps its proven distributed
     shape (quality = map-only scan, contamination = broadcast eval
-    shingles, dedup CC = dup-subgraph propagation)."""
+    shingles, dedup CC = dup-subgraph propagation).
+
+    The shared shingle table is materialized as a scratch parquet
+    STAGE TABLE (swept by the owner-pid scratch protocol), not
+    .cache(): at 100 TB the shingle table is corpus-sized — executor
+    storage memory can't hold it, and a cached plan would leak in a
+    long-lived session (ADVICE/VERDICT r04). A stage-table write +
+    re-read is the Iceberg-shaped pattern the full pipeline already
+    uses, leaves no persistent RDDs behind, and lets all three legs
+    scan one computed copy."""
     docs = _docs(spark, sf_dir)
-    sh = D.shingle_table(docs, 3).cache()
+    tmp = _stream_scratch(spark, sf_dir, "upcp_corpus_sh_")
+    D.shingle_table(docs, 3).write.mode("overwrite").parquet(
+        f"{tmp}/sh"
+    )
+    sh = spark.read.parquet(f"{tmp}/sh")
     qf = docs.select(
         "doc_id",
         T.quality_filter_cols_expr(F.col("text"))["kept"].alias(
@@ -912,18 +925,23 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_quantile_exprs(q: float, name: str) -> list:
-    """Exact interpolated quantile of v per group from rank-selected
-    order statistics (no arrays, no approx_percentile): rank =
-    (n-1)·q, value = v_floor + frac·(v_ceil − v_floor). The rank
-    expressions are PER-ROW (n is constant within a group) and enter
-    the aggregate through MAX, so neither engine nests aggregates.
-    Every double op mirrors the oracle."""
+def _lang_quantile_hist_exprs(q: float, name: str) -> list:
+    """Exact interpolated quantile of v per group from a value
+    HISTOGRAM (columns v, cum, n — cum = #rows with value <= v):
+    rank = (n-1)·q, the order statistic at 0-indexed rank r is the
+    smallest v with cum >= r+1 (cum is monotone in v, so MIN over the
+    qualifying rows selects it), value = v_floor + frac·(v_ceil −
+    v_floor). The rank expressions are PER-ROW (n is constant within
+    a group) and enter the aggregate through MIN/MAX, so neither
+    engine nests aggregates. Every double op mirrors the oracle's
+    row_number-based selection — the selected VALUES are identical
+    (tie order within equal v cannot change them), so the
+    interpolation arithmetic is bit-exact."""
     rank_row = (F.col("n") - F.lit(1)).cast("double") * F.lit(q)
     fl_row = F.floor(rank_row)
-    vlo = F.max(F.when(F.col("rn") == fl_row, F.col("v")))
+    vlo = F.min(F.when(F.col("cum") >= fl_row + 1, F.col("v")))
     vhi = F.coalesce(
-        F.max(F.when(F.col("rn") == fl_row + 1, F.col("v"))), vlo
+        F.min(F.when(F.col("cum") >= fl_row + 2, F.col("v"))), vlo
     )
     frac = F.max(rank_row) - F.max(fl_row.cast("double"))
     return [(vlo + frac * (vhi - vlo)).alias(name)]
@@ -967,11 +985,20 @@ FROM j GROUP BY lang
 """,
 )
 def q_lang_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT per-language doc-length quantiles (median + p90) via
-    rank-selected order statistics + linear interpolation — the
-    scalable exact alternative to approx_percentile: one window
-    ranking pass + one aggregate, no per-group arrays, no sketches.
-    Tie order (equal v) cannot change the interpolated result."""
+    """EXACT per-language doc-length quantiles (median + p90) via a
+    VALUE HISTOGRAM + rank selection — the scalable exact alternative
+    to both approx_percentile and per-group corpus sorts.
+
+    Scale shape (the r04 version ranked each language's entire corpus
+    in ONE window task — a 100-TB-English killer): the only
+    corpus-sized operation here is groupBy(lang, v) with map-side
+    combine, fully parallel. Everything after runs on the HISTOGRAM,
+    whose size is bounded by |langs| x |distinct doc lengths| (the
+    value domain, ~1e6 rows max per language regardless of corpus
+    size), so the per-lang cumulative window is tiny-bounded, not
+    corpus-sized. Rank r's value = min v with cum_count > r.
+    Tie order (equal v) cannot change the interpolated result, so the
+    oracle's row_number-based selection yields identical values."""
     from pyspark.sql import Window
 
     # NULL guard mirrored in the oracle: Spark orders NULLS FIRST,
@@ -979,18 +1006,24 @@ def q_lang_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         _docs(spark, sf_dir)
         .filter(F.col("n_chars").isNotNull())
-        .select("lang", F.col("n_chars").cast("double").alias("v"), "doc_id")
+        .select("lang", F.col("n_chars").cast("double").alias("v"))
     )
-    cnt = base.groupBy("lang").agg(F.count("*").alias("n"))
-    w = Window.partitionBy("lang").orderBy("v", "doc_id")
-    rnk = base.select(
-        "lang", "v", (F.row_number().over(w) - 1).alias("rn")
+    hist = base.groupBy("lang", "v").agg(F.count("*").alias("c"))
+    cnt = hist.groupBy("lang").agg(F.sum("c").alias("n"))
+    # cum = #corpus rows with value <= v; window input is the
+    # histogram (value-domain-sized), never the corpus
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    j = rnk.join(F.broadcast(cnt), "lang")
-    return j.groupBy("lang").agg(
+    h2 = hist.withColumn("cum", F.sum("c").over(w)).join(
+        F.broadcast(cnt), "lang"
+    )
+    return h2.groupBy("lang").agg(
         F.max("n").cast("long").alias("n_docs"),
-        *_lang_quantile_exprs(0.5, "median_chars"),
-        *_lang_quantile_exprs(0.9, "p90_chars"),
+        *_lang_quantile_hist_exprs(0.5, "median_chars"),
+        *_lang_quantile_hist_exprs(0.9, "p90_chars"),
     )
 
 
@@ -1031,6 +1064,19 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs (shingle equi-join, never a
     cross join)."""
     return D.jaccard_pairs(_docs(spark, sf_dir), 3, 0.5)
+
+
+@register("span_dedup", D.span_dedup_sql(8))
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact substring dedup — repeated ≥8-token passages
+    shared ACROSS documents, reported as maximal merged token
+    intervals per doc (the "dedup repeated 50-token passages" step of
+    a training pipeline, ExactSubstr re-expressed relationally:
+    positional k-gram keys → cross-doc frequency gate → per-doc
+    interval union). All shuffles are shingle-linear; the interval
+    merge window is per-document (doc-length-bounded), never
+    corpus-sized."""
+    return D.span_dedup(_docs(spark, sf_dir), 8)
 
 
 @register("minhash_lsh", D.minhash_lsh_sql(3, 0.5))
@@ -1573,14 +1619,29 @@ def _stream_scratch(spark: SparkSession, sf_dir: str, prefix: str) -> str:
     sweep only removes a dir whose owner process no longer exists
     (mtime alone is unsafe — nested checkpoint writes don't refresh
     the top dir's mtime, so a long-lived concurrent run could look
-    stale; ADVICE r03). Markerless dirs (pre-marker leftovers) fall
-    back to a 24 h age threshold, far beyond any session length here."""
+    stale; ADVICE r03). The marker records pid AND the process start
+    time (so PID reuse can't make a dead owner's dir immortal) and is
+    written atomically via os.replace (a crash between makedirs and
+    marker write can't leave a markerless dir that survives 24 h;
+    ADVICE r04). Markerless dirs (pre-marker leftovers) fall back to
+    a 24 h age threshold, far beyond any session length here."""
     import glob
     import hashlib
     import os
     import shutil
     import tempfile
     import time as _time
+
+    def _starttime(pid: int):
+        """Linux process start time (clock ticks since boot) from
+        /proc/<pid>/stat field 22; None where /proc is unavailable.
+        comm (field 2) may contain spaces — parse after the last ')'."""
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                rest = fh.read().rsplit(")", 1)[1].split()
+            return int(rest[19])  # field 22, 0-indexed 19 after comm
+        except (OSError, IndexError, ValueError):
+            return None
 
     base = f"{tempfile.gettempdir()}/{prefix}"
     for old in glob.glob(base + "*"):
@@ -1592,13 +1653,19 @@ def _stream_scratch(spark: SparkSession, sf_dir: str, prefix: str) -> str:
                         # empty/corrupt marker must raise ValueError →
                         # swept (pid 0 would signal our own process
                         # group and read as alive forever)
-                        pid = int(fh.read().strip())
+                        toks = fh.read().split()
+                    pid = int(toks[0])
                     if pid <= 0:
                         raise ValueError(str(pid))
                     os.kill(pid, 0)  # signal 0: existence probe only
+                    if len(toks) > 1:
+                        live = _starttime(pid)
+                        if live is not None and live != int(toks[1]):
+                            raise ProcessLookupError  # PID reused
                     continue  # owner alive — never touch
-                except (ProcessLookupError, ValueError, OverflowError):
-                    pass  # owner dead / corrupt marker → sweep
+                except (ProcessLookupError, ValueError, OverflowError,
+                        IndexError):
+                    pass  # owner dead / PID reused / corrupt → sweep
                 except PermissionError:
                     continue  # alive under another uid — leave it
             elif _time.time() - os.path.getmtime(old) <= 86400:
@@ -1610,8 +1677,13 @@ def _stream_scratch(spark: SparkSession, sf_dir: str, prefix: str) -> str:
     tmp = f"{base}{spark.sparkContext.applicationId}_{digest}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
-    with open(os.path.join(tmp, "owner.pid"), "w") as fh:
-        fh.write(str(os.getpid()))
+    me = os.getpid()
+    stt = _starttime(me)
+    payload = f"{me} {stt}" if stt is not None else str(me)
+    mtmp = os.path.join(tmp, ".owner.pid.tmp")
+    with open(mtmp, "w") as fh:
+        fh.write(payload)
+    os.replace(mtmp, os.path.join(tmp, "owner.pid"))
     return tmp
 
 
