@@ -180,3 +180,27 @@ def test_pipeline_kill_and_resume_from_stage_k(spark):
         assert lin.filter(F.col("stage_name") == "ground_refine").count() > 1
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_sequential_switch_matches_fused_on_fixture(spark):
+    """pipeline_stages(fused=False) — the reference-exact sequential
+    switch (ADVICE r04) — must produce the same labels as the fused
+    fast path on the fixture, running through the same runner fold."""
+    import urban_pointcloud_processing_spark.plans.full_pipeline as fp
+
+    names = [n for n, _, _ in fp.pipeline_stages(fused=False)]
+    assert "pole_boom" in names and "furniture_bank" in names
+    assert "pole_family" not in names
+
+    lbl = (
+        fp._base(spark, SF_DIR)
+        .withColumn("label", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    for _, _, step in fp.pipeline_stages(fused=False):
+        lbl = step(lbl).localCheckpoint(eager=True)
+    seq = {r["page_id"]: r["label"]
+           for r in lbl.select("page_id", "label").collect()}
+    fused = {r["page_id"]: r["label"]
+             for r in full_pipeline_labels(spark, SF_DIR).collect()}
+    assert fused == seq

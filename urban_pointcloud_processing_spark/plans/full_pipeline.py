@@ -766,12 +766,27 @@ def _unl(cur: DataFrame) -> DataFrame:
     return cur.filter(F.col("label") == 0)
 
 
-def pipeline_stages() -> list[tuple[str, list[int], object]]:
+def pipeline_stages(
+    fused: bool = True,
+) -> list[tuple[str, list[int], object]]:
     """Ordered (name, labels_written, step) list — the single source of
     truth for the stage chain. ``step(lbl_state) -> lbl_state``; each
     step is one reference pipeline stage (or fused family). The runner
     materializes AFTER each step (localCheckpoint in-session, parquet
-    stage tables for the resumable path)."""
+    stage tables for the resumable path).
+
+    ``fused=True`` (default, fast path): the three pole stages and two
+    furniture stages run as single detection passes over the
+    PRE-FAMILY unlabelled set, whereas the reference recomputes the
+    mask before every processor (src/upcp/pipeline.py:88-95) — so on
+    data where poles of different types fall within the same search
+    radius the fused output can deviate from the reference's
+    sequential semantics (engine and oracle stay mutually consistent;
+    verified output-identical on both fixtures by
+    tests/test_full_pipeline.py). ``fused=False`` switches to the
+    retained strictly-sequential per-type chain — reference-exact
+    semantics at the cost of 3 extra full-table materializations
+    (ADVICE r04)."""
     L = Labels
     stages: list[tuple[str, list[int], object]] = [
         ("ground_refine", [int(L.GROUND)],
@@ -799,11 +814,28 @@ def pipeline_stages() -> list[tuple[str, list[int], object]]:
          lambda lbl: _fold(lbl, _claims_cable(_unl(lbl)))),
         ("car_fuser", [int(L.CAR)],
          lambda lbl: _fold(lbl, _claims_car(_unl(lbl)))),
-        ("pole_family", [int(lab) for _, _, lab in POLE_STAGES],
-         lambda lbl: _fold_family(lbl, _claims_pole_family(_unl(lbl)))),
-        ("furniture_family", [int(lab) for _, _, lab in FURN_STAGES],
-         lambda lbl: _fold_family(lbl, _claims_furniture_family(_unl(lbl)))),
     ]
+    if fused:
+        stages += [
+            ("pole_family", [int(lab) for _, _, lab in POLE_STAGES],
+             lambda lbl: _fold_family(lbl, _claims_pole_family(_unl(lbl)))),
+            ("furniture_family", [int(lab) for _, _, lab in FURN_STAGES],
+             lambda lbl: _fold_family(
+                 lbl, _claims_furniture_family(_unl(lbl)))),
+        ]
+    else:
+        # reference-exact sequential chain: mask recomputed before
+        # EVERY per-type stage, exactly like src/upcp/pipeline.py:88-95
+        for _i, btype, lab in POLE_STAGES:
+            stages.append(
+                (f"pole_{btype}", [int(lab)],
+                 lambda lbl, b=btype, la=lab: _fold(
+                     lbl, _claims_pole(_unl(lbl), b, int(la)))))
+        for _i, btype, lab in FURN_STAGES:
+            stages.append(
+                (f"furniture_{btype}", [int(lab)],
+                 lambda lbl, b=btype, la=lab: _fold(
+                     lbl, _claims_furniture(_unl(lbl), b, int(la)))))
     grower_name = {int(L.BUILDING): "grow_building",
                    int(L.STREET_LIGHT): "grow_light",
                    int(L.TRAFFIC_SIGN): "grow_sign",

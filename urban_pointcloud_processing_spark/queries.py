@@ -1728,6 +1728,26 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("exact_dedup_stream_merged", D.EXACT_DEDUP_SQL)
+def q_exact_dedup_stream_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact dedup, MERGED variant: the drain is forced to
+    multiple micro-batches (two input files + maxFilesPerTrigger=1),
+    yet the result still equals the batch operator bit-exactly — each
+    micro-batch lands a JVM-side partial aggregate idempotently
+    (overwrite per batch id) and the view merges min-of-mins /
+    sum-of-counts. This is the batch-parity answer to the first-seen
+    gate's single-batch caveat (streaming/dedup.py module docstring)."""
+    from .streaming.dedup import run_dedup_merged_available_now
+
+    tmp = _stream_scratch(spark, sf_dir, "upcp_dedupm_q_")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    inp = f"{tmp}/in"
+    docs.repartition(2, F.col("doc_id")).write.mode("overwrite").parquet(inp)
+    return run_dedup_merged_available_now(
+        spark, inp, f"{tmp}/ckpt", f"{tmp}/out", max_files_per_trigger=1
+    )
+
+
 @register("exact_dedup_stream", D.EXACT_DEDUP_SQL)
 def q_exact_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING exact dedup (applyInPandasWithState keyed by the
@@ -4601,8 +4621,23 @@ def q_stencil_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("media_features", M.media_features_sql(24))
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary
-    payloads (decode stubbed; byte-level features are real)."""
+    payloads (byte-level features; see image_decode for real pixels)."""
     return M.media_features(M.synth_media(_docs(spark, sf_dir)), 24)
+
+
+@register("image_decode", M.image_decode_sql())
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode end-to-end: each document gets a deterministic
+    VALID binary P6 PPM payload (built executor-side), which the
+    pure-NumPy decoder parses back to pixels; per-channel exact pixel
+    means come out floor-e6 quantized. The oracle reproduces the means
+    in closed form from the raster formula — so header parsing, raster
+    layout, channel de-interleave and the Arrow round trip are all
+    under the bit-exact gate. Compressed codecs stay stubbed
+    (operators/multimodal.py:decode_image)."""
+    return M.image_decode_features(
+        M.synth_ppm_media(_docs(spark, sf_dir))
+    )
 
 
 # ----------------------------------------------------------------------

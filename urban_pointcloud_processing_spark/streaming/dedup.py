@@ -116,3 +116,82 @@ def run_dedup_available_now(
     )
     q.awaitTermination()
     return spark.read.schema(OUT_SCHEMA).parquet(output_dir)
+
+
+# ----------------------------------------------------------------------
+# Merged (batch-exact) variant: per-micro-batch PARTIAL aggregates +
+# merge-on-read. Restores batch-operator-exact canonicals and counts
+# under ANY micro-batch split (maxFilesPerTrigger > 1, multi-file
+# drains, multiple drains) — the first-seen gate above cannot, because
+# an append sink can never retract an emitted row (module docstring).
+# ----------------------------------------------------------------------
+
+PARTIAL_SCHEMA = StructType(
+    [
+        StructField("_h", StringType()),
+        StructField("batch_min", LongType()),
+        StructField("batch_n", LongType()),
+    ]
+)
+
+
+def run_dedup_merged_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drain input_dir and return the BATCH-EXACT dedup view
+    (canonical_id, n_docs) over every document drained so far.
+
+    Shape: foreachBatch runs a JVM-side partial aggregate per
+    micro-batch — groupBy(content hash) → (min doc_id, count), the
+    map-side-combine half of the batch operator — and lands it in a
+    ``batch=<id>`` subdirectory with mode="overwrite", so a retried
+    micro-batch REPLACES its own partials (idempotent under the
+    at-least-once contract of foreachBatch; a plain append sink would
+    double-count retried batches). The returned view merges partials:
+    min of mins, sum of counts — associative/commutative, hence exact
+    regardless of how arrivals were split across micro-batches or
+    drains. State lives in the sink partials, not the state store, so
+    per-hash memory is zero and the sink itself is the resumable
+    artifact (the Iceberg-rollup pattern at cluster scale)."""
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("_h")
+            .agg(
+                F.min("doc_id").alias("batch_min"),
+                F.count("*").alias("batch_n"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{output_dir}/batch={batch_id}")
+        )
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        # AvailableNow respects this as the batch-size cap, so a
+        # multi-file drain splits into several micro-batches — the
+        # exact condition the merge must (and does) stay exact under
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(input_dir)
+    hashed = raw.select("doc_id", F.sha2(F.col("text"), 256).alias("_h"))
+    q = (
+        hashed.writeStream.foreachBatch(emit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    partials = spark.read.schema(PARTIAL_SCHEMA).option(
+        "basePath", output_dir
+    ).parquet(f"{output_dir}/batch=*")
+    return (
+        partials.groupBy("_h")
+        .agg(
+            F.min("batch_min").cast("long").alias("canonical_id"),
+            F.sum("batch_n").cast("long").alias("n_docs"),
+        )
+        .select("canonical_id", "n_docs")
+    )
