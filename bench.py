@@ -703,31 +703,59 @@ def main() -> None:
         # load only ever LOWERS measured scaling efficiency (the 2- and
         # 8-thread runs contend differently for the shared cores), so
         # the r04 driver artifact under-reported 0.647 at loadavg 5-8
-        # vs 0.776 quiet. Retry the capture up to SCALE_ATTEMPTS times,
-        # accept the first attempt bracketed by loadavg < QUIET_LOAD,
-        # otherwise keep the best-efficiency attempt; ALL attempts'
-        # loadavg brackets are recorded so the number is auditable.
+        # vs 0.776 quiet. Retry the capture up to SCALE_ATTEMPTS times;
+        # each attempt first waits (≤ SETTLE_SEC) for the 1-min loadavg
+        # to decay below QUIET_LOAD — right after our own suite it
+        # mostly measures ourselves — then the gate is the PRE-attempt
+        # load. A quiet attempt is reported AS CAPTURED (never swapped
+        # for a noisier higher number); with no quiet window the best
+        # attempt ships. ALL attempts (incl. failures) are recorded so
+        # the published number is auditable.
         levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")
         lo, hi = levels[0], levels[-1]
         max_att = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "3"))
         quiet = float(os.environ.get("SPARK_GRAFT_SCALE_QUIET_LOAD", "5.0"))
+        settle = float(os.environ.get("SPARK_GRAFT_SCALE_SETTLE_SEC", "120"))
         attempts: list[dict] = []
         best = None
+        chosen = None
         for _att in range(max_att):
+            # The 1-min loadavg right after our own 32-thread suite (or
+            # a previous attempt's 2+8-thread capture) mostly measures
+            # OURSELVES — wait for it to decay before judging the
+            # window, and judge on the PRE-attempt load only (the
+            # post-attempt reading is always self-polluted).
+            waited = 0.0
+            while os.getloadavg()[0] >= quiet and waited < settle:
+                time.sleep(10)
+                waited += 10
             la_pre = round(os.getloadavg()[0], 1)
-            lv, eff, t_lo, t_hi = _scaling_thread_results(levels)
+            try:
+                lv, eff, t_lo, t_hi = _scaling_thread_results(levels)
+            except Exception as aex:  # keep earlier good captures
+                attempts.append({"error": str(aex)[:120],
+                                 "loadavg_pre": la_pre,
+                                 "settle_wait_sec": waited})
+                continue
             la_post = round(os.getloadavg()[0], 1)
-            cap = {"lv": lv, "eff": eff, "t_lo": t_lo, "t_hi": t_hi,
-                   "la": (la_pre, la_post)}
+            cap = {"lv": lv, "eff": eff, "t_lo": t_lo, "t_hi": t_hi}
+            is_quiet = la_pre < quiet
             attempts.append({"efficiency": round(eff, 3),
                              "loadavg_pre": la_pre,
-                             "loadavg_post": la_post})
+                             "loadavg_post": la_post,
+                             "settle_wait_sec": waited,
+                             "quiet": is_quiet})
             if best is None or eff > best["eff"]:
                 best = cap
-            if max(la_pre, la_post) < quiet:
-                break  # quiet window found — trustworthy capture
-        lv, eff, t_lo, t_hi = (best["lv"], best["eff"],
-                               best["t_lo"], best["t_hi"])
+            if is_quiet:
+                chosen = cap  # report the QUIET capture, not the max
+                break
+        if chosen is None:
+            chosen = best  # no quiet window — best-of, trail shows why
+        if chosen is None:
+            raise RuntimeError("no scaling attempt succeeded")
+        lv, eff, t_lo, t_hi = (chosen["lv"], chosen["eff"],
+                               chosen["t_lo"], chosen["t_hi"])
         scaling = {
             "efficiency": eff,
             "efficiency_by_job": lv.get("efficiency_by_job"),

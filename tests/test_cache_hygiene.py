@@ -9,10 +9,11 @@ intermediates) never touches the CacheManager; its RDDs are released
 by the ContextCleaner once the result is dereferenced.
 
 This test runs the registered queries that historically used shared
-caches (the shingle family, the capstone composite, region growing)
-plus a sweep over the whole registry's PLAN CONSTRUCTION, and asserts
-the CacheManager is empty afterwards: no registered query may leave a
-pinned cached plan behind after its result is consumed.
+caches (the shingle family, the capstone composite, region growing —
+the LEAK_PRONE list below) and asserts the CacheManager is empty after
+each one's result is consumed. It is a targeted gate over the known
+cache-using call sites, not a whole-registry sweep (running all ~90
+queries here would duplicate the driver's correctness pass).
 """
 
 from __future__ import annotations

@@ -242,9 +242,15 @@ def quality_cols_sql(expr: str) -> dict[str, str]:
 # Shingles (word n-grams) — the dedup unit
 # ----------------------------------------------------------------------
 
-def shingles_expr(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined)."""
-    toks = tokens_expr(col)
+def shingles_from_tokens_expr(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined) from a token-array
+    column. ``toks`` MUST be a bound column (projected under its own
+    alias), not an inline ``tokens_expr(...)``: Spark does not hoist
+    non-lambda subexpressions out of LambdaFunction bodies, so an
+    inline expression would be re-evaluated for every gram element —
+    O(n·L²) per document instead of O(n·L) (measured >100× on
+    2k-token documents; a bound multi-referenced alias is protected
+    from CollapseProject inlining)."""
     idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
     grams = F.transform(
         idx,
@@ -255,6 +261,16 @@ def shingles_expr(col: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles_expr(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles straight from a TEXT column.
+    Convenience form for ad-hoc use on SHORT documents — it inlines
+    the tokenizer into the gram lambda, which re-tokenizes per gram
+    element (quadratic in document length). Pipelines must bind the
+    token array first and use ``shingles_from_tokens_expr`` (see
+    ``operators.dedup.shingle_table``)."""
+    return shingles_from_tokens_expr(tokens_expr(col), n)
 
 
 def shingles_from_tokens_sql(tok_col: str, n: int = 3) -> str:
@@ -354,8 +370,16 @@ REP_NGRAM_N = 3
 REP_DUP_FRAC_MAX = 0.05  # flag threshold (fixture-scaled)
 
 
-def repetition_cols_expr(col: Column, n: int = REP_NGRAM_N) -> dict[str, Column]:
-    toks = tokens_expr(col)
+def repetition_cols_expr(col: Column, n: int = REP_NGRAM_N,
+                         toks: Column | None = None) -> dict[str, Column]:
+    """Repetition-signal columns. Callers on anything longer than toy
+    documents must pass ``toks`` as a BOUND token-array column
+    (projected under its own alias): the gram lambda references the
+    token array per element, and an inline tokenizer would re-run the
+    regex split per gram — O(n·L²) per document (see
+    shingles_from_tokens_expr)."""
+    if toks is None:
+        toks = tokens_expr(col)
     has = (F.length(F.trim(col)) > 0) & (F.size(toks) >= n)
     total = F.when(has, F.size(toks) - F.lit(n) + 1).otherwise(F.lit(0))
     idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))

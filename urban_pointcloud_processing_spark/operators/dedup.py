@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import (
     HASH_MOD,
-    shingles_expr,
+    shingles_from_tokens_expr,
     shingles_from_tokens_sql,
     str_hash_sql,
     str_hash_udf,
@@ -109,9 +109,16 @@ def shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
 
     The char-fold hash runs on the DISTINCT shingle strings only (web
     shingles repeat heavily across documents), then joins back — the
-    hash work scales with vocabulary, not corpus size."""
-    pairs = docs.select(
-        "doc_id", F.explode(shingles_expr(F.col("text"), n)).alias("sh")
+    hash work scales with vocabulary, not corpus size. The token array
+    is bound in its own projection BEFORE the gram lambda — an inline
+    tokenizer would re-run the regex split per gram element, O(n·L²)
+    per document (functions.text.shingles_from_tokens_expr)."""
+    toked = docs.select(
+        "doc_id", tokens_expr(F.col("text")).alias("_t")
+    )
+    pairs = toked.select(
+        "doc_id",
+        F.explode(shingles_from_tokens_expr(F.col("_t"), n)).alias("sh"),
     )
     return pairs.select(
         "doc_id", str_hash_udf()(F.col("sh")).alias("sid")
@@ -145,8 +152,15 @@ JACCARD_DF_CAP = 1000
 
 
 def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
-                  df_cap: int = JACCARD_DF_CAP) -> DataFrame:
-    sh = shingle_table(docs, n).localCheckpoint(eager=True)
+                  df_cap: int = JACCARD_DF_CAP,
+                  sh: DataFrame | None = None) -> DataFrame:
+    """Pass ``sh`` (a materialized shingle table, e.g. a stage-table
+    read) at scale: the in-session localCheckpoint fallback pins the
+    corpus-sized shingle table in executor storage and forfeits
+    lineage recovery — fine for library convenience, wrong for a
+    100 TB run (registered queries pass a scratch stage table)."""
+    if sh is None:
+        sh = shingle_table(docs, n).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     hot = (
         sh.groupBy("sid")
@@ -682,7 +696,8 @@ WHERE d.doc_id % {bench_mod} != 0
 # ----------------------------------------------------------------------
 
 def boilerplate_frac(docs: DataFrame, n: int = 3,
-                     df_cap: int = 2) -> DataFrame:
+                     df_cap: int = 2,
+                     sh: DataFrame | None = None) -> DataFrame:
     """(doc_id, n_shingles, n_common, common_frac) — n_common = this
     doc's shingles whose corpus document-frequency exceeds df_cap."""
     # materialized once (localCheckpoint, NOT .cache(): a cached plan
@@ -691,8 +706,9 @@ def boilerplate_frac(docs: DataFrame, n: int = 3,
     # ContextCleaner once the result is dereferenced — ADVICE r04):
     # the plan references the shingle table twice (df aggregate
     # + join probe) and the explode/hash work dominates — same pattern
-    # as jaccard_pairs above
-    sh = shingle_table(docs, n).localCheckpoint(eager=True)
+    # as jaccard_pairs above; pass ``sh`` (stage-table read) at scale
+    if sh is None:
+        sh = shingle_table(docs, n).localCheckpoint(eager=True)
     dfreq = sh.groupBy("sid").agg(F.count("*").alias("df"))
     return (
         sh.join(dfreq, "sid")
@@ -754,18 +770,25 @@ def span_dedup(docs: DataFrame, k: int = 8) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    toks = tokens_expr(F.col("text"))
+    # Bind the token array in its OWN projection before the
+    # higher-order function: Spark does not hoist non-lambda
+    # subexpressions out of LambdaFunction bodies, so referencing
+    # tokens_expr(text) inside the transform would re-run the regex
+    # split per gram element — O(k·L²) per document instead of O(k·L)
+    # (measured ~100× on 2k-token docs).
+    toked = docs.select("doc_id", tokens_expr(F.col("text")).alias("_t"))
+    t = F.col("_t")
     # positional (non-distinct) k-grams, i = 1-based start token index
     grams = F.when(
-        F.size(toks) >= k,
+        F.size(t) >= k,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(k) + 1),
+            F.sequence(F.lit(1), F.size(t) - F.lit(k) + 1),
             lambda i: F.concat_ws(
-                " ", *[F.get(toks, i - 1 + F.lit(j)) for j in range(k)]
+                " ", *[F.get(t, i - 1 + F.lit(j)) for j in range(k)]
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = docs.select(
+    g = toked.select(
         "doc_id", F.posexplode(grams).alias("p", "gram")
     ).select(
         "doc_id",

@@ -746,9 +746,14 @@ def q_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     earlier occurrence, plus a flag above the fixture-scaled threshold.
     Pure higher-order-function expressions — one scan, zero shuffle,
     zero Python; complements quality_filter's distinct-TOKEN rule with
-    the phrase-level boilerplate signal."""
-    cols = T.repetition_cols_expr(F.col("text"))
-    return _docs(spark, sf_dir).select(
+    the phrase-level boilerplate signal. The token array is bound in
+    its own projection so the gram lambda never re-tokenizes per
+    element (O(n·L) not O(n·L²) per doc)."""
+    toked = _docs(spark, sf_dir).select(
+        "doc_id", "text", T.tokens_expr(F.col("text")).alias("_t")
+    )
+    cols = T.repetition_cols_expr(F.col("text"), toks=F.col("_t"))
+    return toked.select(
         "doc_id", *[c.alias(n) for n, c in cols.items()]
     )
 
@@ -839,20 +844,12 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (quality = map-only scan, contamination = broadcast eval
     shingles, dedup CC = dup-subgraph propagation).
 
-    The shared shingle table is materialized as a scratch parquet
-    STAGE TABLE (swept by the owner-pid scratch protocol), not
-    .cache(): at 100 TB the shingle table is corpus-sized — executor
-    storage memory can't hold it, and a cached plan would leak in a
-    long-lived session (ADVICE/VERDICT r04). A stage-table write +
-    re-read is the Iceberg-shaped pattern the full pipeline already
-    uses, leaves no persistent RDDs behind, and lets all three legs
-    scan one computed copy."""
+    The shared shingle table is a scratch parquet STAGE TABLE
+    (_shingle_stage): at 100 TB the shingle table is corpus-sized —
+    executor storage can't hold it, and a cached plan would leak in a
+    long-lived session (ADVICE/VERDICT r04)."""
     docs = _docs(spark, sf_dir)
-    tmp = _stream_scratch(spark, sf_dir, "upcp_corpus_sh_")
-    D.shingle_table(docs, 3).write.mode("overwrite").parquet(
-        f"{tmp}/sh"
-    )
-    sh = spark.read.parquet(f"{tmp}/sh")
+    sh = _shingle_stage(spark, sf_dir, 3, "upcp_corpus_sh_")
     qf = docs.select(
         "doc_id",
         T.quality_filter_cols_expr(F.col("text"))["kept"].alias(
@@ -1034,7 +1031,8 @@ def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-gram shingles whose corpus document-frequency exceeds 2. The
     doc-frequency table is vocabulary-sized; shuffles scale with the
     corpus shingle count."""
-    return D.boilerplate_frac(_docs(spark, sf_dir), 3, 2)
+    sh = _shingle_stage(spark, sf_dir, 3, "upcp_sh_boil_")
+    return D.boilerplate_frac(_docs(spark, sf_dir), 3, 2, sh=sh)
 
 
 @register(
@@ -1063,7 +1061,27 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs (shingle equi-join, never a
     cross join)."""
-    return D.jaccard_pairs(_docs(spark, sf_dir), 3, 0.5)
+    sh = _shingle_stage(spark, sf_dir, 3, "upcp_sh_njac_")
+    return D.jaccard_pairs(_docs(spark, sf_dir), 3, 0.5, sh=sh)
+
+
+def _shingle_stage(spark: SparkSession, sf_dir: str, n: int,
+                   prefix: str) -> DataFrame:
+    """Materialize the word-n-gram shingle table as a scratch parquet
+    STAGE TABLE (owner-pid swept) and return its read. The shingle
+    family's registered queries all consume this instead of an
+    in-session localCheckpoint: at 100 TB the shingle table is
+    corpus-sized — executor storage can't hold it and a lost executor
+    would kill a checkpointed-lineage job, whereas a stage table on
+    the cluster FS is exactly the Iceberg-shaped pattern the label
+    pipeline already uses (plans/full_pipeline.py). ``prefix`` is
+    per-query so one query's rewrite can never clobber a table
+    another live plan still reads."""
+    tmp = _stream_scratch(spark, sf_dir, prefix)
+    D.shingle_table(_docs(spark, sf_dir), n).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/sh")
+    return spark.read.parquet(f"{tmp}/sh")
 
 
 @register("span_dedup", D.span_dedup_sql(8))
@@ -1083,7 +1101,8 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4×4) candidates verified with exact Jaccard —
     the shingle→minhash→band→bucket-join scale path."""
-    return D.minhash_lsh_dedup(_docs(spark, sf_dir), 3, 0.5)
+    sh = _shingle_stage(spark, sf_dir, 3, "upcp_sh_mlsh_")
+    return D.minhash_lsh_dedup(_docs(spark, sf_dir), 3, 0.5, sh=sh)
 
 
 @register("dedup_clusters", D.dedup_clusters_sql(3, 0.5))
@@ -1093,7 +1112,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation, one shuffle per round, rounds = dup-cluster diameter),
     canonical = min doc_id per cluster. Every doc gets a row;
     singletons survive as their own canonical."""
-    return D.dedup_clusters(_docs(spark, sf_dir), 3, 0.5)
+    sh = _shingle_stage(spark, sf_dir, 3, "upcp_sh_dcl_")
+    return D.dedup_clusters(_docs(spark, sf_dir), 3, 0.5, sh=sh)
 
 
 @register("decontaminate", D.decontaminate_sql(3, 97, 3))
@@ -1102,7 +1122,8 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct word-3-gram shingles with the held-out eval slice
     (doc_id % 97 == 0). The eval shingle set broadcasts — the corpus
     is scanned once, no shuffle grows with the eval side."""
-    return D.decontaminate(_docs(spark, sf_dir), 3, 97, 3)
+    sh = _shingle_stage(spark, sf_dir, 3, "upcp_sh_dec_")
+    return D.decontaminate(_docs(spark, sf_dir), 3, 97, 3, sh=sh)
 
 
 @register("simhash", D.simhash_sql())
