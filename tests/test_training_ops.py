@@ -232,3 +232,34 @@ def test_boilerplate_frac_flags_shared_fragments(spark):
         assert got[d]["n_common"] == 3, got[d]
         assert got[d]["common_frac"] > 0.0
     assert got[4]["n_common"] == 0 and got[4]["common_frac"] == 0.0
+
+
+def test_span_dedup_df_cap_parity_and_effect(spark):
+    """span_dedup's hot-gram cap (the JACCARD_DF_CAP analog for span
+    dedup): engine and oracle apply the identical cap and stay
+    bit-exact, and on the fixture the cap actually drops
+    high-document-frequency boilerplate grams (output differs from
+    the uncapped run)."""
+    from tests.parity import compare
+    from urban_pointcloud_processing_spark.operators.dedup import (
+        span_dedup,
+        span_dedup_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rep = compare(
+        spark, sf, "span_dedup_cap2",
+        lambda s, d: span_dedup(
+            s.read.parquet(f"{d}/documents.parquet"), 8, df_cap=2
+        ),
+        span_dedup_sql(8, 2),
+    )
+    assert rep["ok"], rep
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    uncapped = span_dedup(docs, 8).count()
+    capped = span_dedup(docs, 8, df_cap=2).count()
+    assert capped != uncapped, (
+        "df_cap=2 should drop some hot grams on the fixture "
+        f"(uncapped={uncapped}, capped={capped})"
+    )

@@ -755,7 +755,8 @@ FROM per
 # per-doc interval union of the flagged windows.
 # ----------------------------------------------------------------------
 
-def span_dedup(docs: DataFrame, k: int = 8) -> DataFrame:
+def span_dedup(docs: DataFrame, k: int = 8,
+               df_cap: int | None = None) -> DataFrame:
     """(doc_id, span_start, span_end, span_tokens, n_dup_grams): maximal
     merged token intervals covered by k-token windows that appear in at
     least one OTHER document.
@@ -767,6 +768,13 @@ def span_dedup(docs: DataFrame, k: int = 8) -> DataFrame:
     and the interval union is a per-DOCUMENT window over flagged
     positions only — bounded by a single document's token count, never
     corpus-sized. No all-pairs stage anywhere.
+
+    ``df_cap``: drop gram keys present in MORE than df_cap documents
+    from the hot set (the JACCARD_DF_CAP analog): universal boilerplate
+    k-grams ("all rights reserved …") would otherwise fan every
+    document into the flagged join. Capped grams stop marking spans —
+    conservative (fewer flagged spans), and the oracle applies the
+    identical cap so the check stays bit-exact. None = uncapped.
     """
     from pyspark.sql import Window
 
@@ -795,10 +803,13 @@ def span_dedup(docs: DataFrame, k: int = 8) -> DataFrame:
         (F.col("p") + 1).cast("long").alias("i"),
         F.sha2(F.col("gram"), 256).alias("h"),
     )
+    gate = F.col("ndocs") >= 2
+    if df_cap is not None:
+        gate = gate & (F.col("ndocs") <= df_cap)
     hot = (
         g.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("ndocs"))
-        .filter(F.col("ndocs") >= 2)
+        .filter(gate)
         .select("h")
     )
     flagged = g.join(hot, "h").select("doc_id", "i")
@@ -828,10 +839,12 @@ def span_dedup(docs: DataFrame, k: int = 8) -> DataFrame:
     )
 
 
-def span_dedup_sql(k: int = 8) -> str:
+def span_dedup_sql(k: int = 8, df_cap: int | None = None) -> str:
     """DuckDB oracle: identical span arithmetic, grouped by the RAW
-    gram text (ground truth the sha2 keying must reproduce)."""
+    gram text (ground truth the sha2 keying must reproduce); df_cap
+    mirrors the engine's hot-gram cap exactly."""
     parts = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
+    cap = "" if df_cap is None else f" AND COUNT(DISTINCT doc_id) <= {df_cap}"
     return f"""
 WITH toks AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
 pos AS (
@@ -841,7 +854,7 @@ pos AS (
   FROM toks
 ),
 g AS (SELECT doc_id, i, {parts} AS gram FROM pos),
-hot AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+hot AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2{cap}),
 f AS (SELECT g.doc_id, g.i FROM g JOIN hot USING (gram)),
 flg AS (
   SELECT doc_id, i,
