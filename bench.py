@@ -79,6 +79,9 @@ EXTENDED = [
     "stratified_sample",
     "embed_quantize",
     "lang_quantiles",
+    "span_dedup",
+    "image_decode",
+    "corpus_clean",
 ]
 
 # Queries timed for the scaling ratio: the flagship spatial-join +
