@@ -739,6 +739,59 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "source_mix",
+    f"""
+SELECT source, lang, COUNT(*) AS n_docs,
+       SUM(CASE WHEN {_QF_SQL['kept']} THEN 1 ELSE 0 END) AS n_kept,
+       CAST((CAST(SUM(n_chars) AS HUGEINT) * 1000000) // COUNT(*)
+            AS DOUBLE) / 1000000.0 AS mean_chars,
+       CAST((CAST(SUM(CASE WHEN {_QF_SQL['kept']} THEN 1 ELSE 0 END)
+                  AS HUGEINT) * 1000000) // COUNT(*)
+            AS DOUBLE) / 1000000.0 AS p_kept
+FROM documents GROUP BY source, lang
+""",
+)
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-MIXING report a pipeline owner reads before setting
+    mixture weights: per (source, lang) stratum — document count,
+    quality-gate survivors, exact mean length and keep rate. One scan
+    + one map-side-combined aggregate; the means are exact integer
+    sums floor-e6-quantized through decimal(38,0) (mirrors DuckDB
+    HUGEINT — an i64 ×1e6 would overflow past ~9e12 total chars per
+    stratum, real at 10^12-document scale)."""
+    kept = T.quality_filter_cols_expr(F.col("text"))["kept"]
+    base = _docs(spark, sf_dir).select(
+        "source", "lang", "n_chars",
+        kept.cast("long").alias("_k"),
+    )
+    agg = base.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_k").alias("n_kept"),
+        F.sum("n_chars").alias("_sum_chars"),
+    )
+    # `a div b` = exact integral quotient (decimal-safe) — a decimal
+    # `/` would round the quotient at the result scale before any
+    # floor(), which can step past the true floor near integers
+    return agg.select(
+        "source", "lang", "n_docs", "n_kept",
+        (
+            F.expr(
+                "CAST(CAST(_sum_chars AS DECIMAL(38,0)) * 1000000 "
+                "DIV n_docs AS DOUBLE)"
+            )
+            / F.lit(1000000.0)
+        ).alias("mean_chars"),
+        (
+            F.expr(
+                "CAST(CAST(n_kept AS DECIMAL(38,0)) * 1000000 "
+                "DIV n_docs AS DOUBLE)"
+            )
+            / F.lit(1000000.0)
+        ).alias("p_kept"),
+    )
+
+
 @register("repetition_ngrams", T.repetition_sql("text"))
 def q_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-word-3-gram repetition signal (Gopher repetition-rule
