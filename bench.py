@@ -717,7 +717,7 @@ def main() -> None:
         levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")
         lo, hi = levels[0], levels[-1]
         max_att = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "3"))
-        quiet = float(os.environ.get("SPARK_GRAFT_SCALE_QUIET_LOAD", "5.0"))
+        quiet = float(os.environ.get("SPARK_GRAFT_SCALE_QUIET_LOAD", "3.0"))
         settle = float(os.environ.get("SPARK_GRAFT_SCALE_SETTLE_SEC", "120"))
         attempts: list[dict] = []
         best = None

@@ -773,22 +773,16 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `a div b` = exact integral quotient (decimal-safe) — a decimal
     # `/` would round the quotient at the result scale before any
     # floor(), which can step past the true floor near integers
+    def floor_e6_div(num_col: str, den_col: str):
+        return F.expr(
+            f"CAST(CAST({num_col} AS DECIMAL(38,0)) * 1000000 "
+            f"DIV {den_col} AS DOUBLE)"
+        ) / F.lit(1000000.0)
+
     return agg.select(
         "source", "lang", "n_docs", "n_kept",
-        (
-            F.expr(
-                "CAST(CAST(_sum_chars AS DECIMAL(38,0)) * 1000000 "
-                "DIV n_docs AS DOUBLE)"
-            )
-            / F.lit(1000000.0)
-        ).alias("mean_chars"),
-        (
-            F.expr(
-                "CAST(CAST(n_kept AS DECIMAL(38,0)) * 1000000 "
-                "DIV n_docs AS DOUBLE)"
-            )
-            / F.lit(1000000.0)
-        ).alias("p_kept"),
+        floor_e6_div("_sum_chars", "n_docs").alias("mean_chars"),
+        floor_e6_div("n_kept", "n_docs").alias("p_kept"),
     )
 
 
