@@ -633,6 +633,42 @@ def main() -> None:
         _run_ivfrecall()
         return
 
+    if "--pipeline" in sys.argv:
+        # The acceptance artifact at bench scale: the full 15-stage
+        # first-writer-wins chain (pole/furniture families fused) over
+        # $SPARK_GRAFT_SF_DIR, engine only (no oracle), fresh session.
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from urban_pointcloud_processing_spark import queries as Q
+        from urban_pointcloud_processing_spark.session import get_spark
+
+        spark = get_spark(master=f"local[{CPUS}]", app_name="upcp-pipeline")
+        Q.queries()["tile_assign"](spark, SF_DIR).write.mode(
+            "overwrite"
+        ).format("noop").save()  # JVM/codegen warm-up
+        t0 = time.perf_counter()
+        Q.queries()["pipeline_full"](spark, SF_DIR).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        wall = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        Q.queries()["pipeline_full_hist"](spark, SF_DIR).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        hist = time.perf_counter() - t0
+        n = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+        spark.stop()
+        print(json.dumps({
+            "metric": "pipeline_full (15-stage fold), local[%s]" % CPUS,
+            "value": round(wall, 3),
+            "unit": "sec",
+            "sf": SF_DIR,
+            "n_pages": n,
+            "pages_per_sec": round(n / wall),
+            "pipeline_full_hist_memoized_sec": round(hist, 3),
+            "loadavg": [round(v, 1) for v in os.getloadavg()],
+        }))
+        return
+
     if "--skew" in sys.argv:
         skew = _run_skew()
         print(json.dumps({
