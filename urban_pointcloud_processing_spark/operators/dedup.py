@@ -775,6 +775,14 @@ def span_dedup(docs: DataFrame, k: int = 8,
     document into the flagged join. Capped grams stop marking spans —
     conservative (fewer flagged spans), and the oracle applies the
     identical cap so the check stays bit-exact. None = uncapped.
+
+    Deliberate non-materialization: the gram table feeds both the
+    frequency gate and the flagged join, so the plan evaluates the
+    tokenize+hash subtree twice. That is the RIGHT trade at scale —
+    the stage is map-only (no shuffle), and recomputing it costs less
+    than writing and re-reading a corpus-sized positional-gram temp
+    table (unlike the shingle family, whose stage table is shared by
+    three downstream consumers and re-read across operators).
     """
     from pyspark.sql import Window
 
