@@ -437,3 +437,15 @@ SELECT doc_id,
              ELSE 0.0 END) > {REP_DUP_FRAC_MAX} AS flagged
 FROM g
 """
+
+
+# ----------------------------------------------------------------------
+# PII patterns (emails / international phone numbers) — the scrub step
+# of a training-data pipeline. Both patterns use only constructs with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
+# character classes, bounded/unbounded greedy repetition — no
+# lookaround, no backreferences.
+# ----------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9][0-9 ]{7,}[0-9]"

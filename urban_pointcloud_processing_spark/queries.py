@@ -740,6 +740,73 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pii_scrub",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0
+                      THEN ' Contact: user' || CAST(doc_id AS VARCHAR)
+                           || '@example.com or +31 6 1234 '
+                           || CAST(doc_id AS VARCHAR)
+                      ELSE '' END AS t2
+  FROM documents
+),
+c AS (
+  SELECT doc_id, t2,
+         CAST(len(regexp_extract_all(t2, '{T.PII_EMAIL_RE}')) AS BIGINT)
+           AS n_emails,
+         CAST(len(regexp_extract_all(t2, '{T.PII_PHONE_RE}')) AS BIGINT)
+           AS n_phones
+  FROM t
+)
+SELECT doc_id, n_emails, n_phones,
+       (n_emails + n_phones) > 0 AS has_pii,
+       sha256(regexp_replace(
+          regexp_replace(t2, '{T.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+          '{T.PII_PHONE_RE}', '<PHONE>', 'g')) AS clean_hash
+FROM c
+""",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrub step of a training-data
+    pipeline: count email/phone matches per document and emit the
+    sha-256 of the redacted text (emails replaced first, then phones).
+    Pure JVM regexp_count/regexp_replace — one scan, no shuffle, no
+    Python; the patterns use only constructs with identical Java-regex
+    (engine) and RE2 (oracle) semantics. A deterministic contact
+    footer is appended to every 7th document so the fixture actually
+    exercises both patterns (the analog of synth_media's payloads);
+    the oracle builds the identical footer."""
+    i = F.col("doc_id")
+    footer = F.concat(
+        F.lit(" Contact: user"), i.cast("string"),
+        F.lit("@example.com or +31 6 1234 "), i.cast("string"),
+    )
+    t2 = F.concat(
+        F.col("text"),
+        F.when(i % 7 == 0, footer).otherwise(F.lit("")),
+    )
+    base = _docs(spark, sf_dir).select("doc_id", t2.alias("t2"))
+    n_emails = F.regexp_count(
+        F.col("t2"), F.lit(T.PII_EMAIL_RE)
+    ).cast("long")
+    n_phones = F.regexp_count(
+        F.col("t2"), F.lit(T.PII_PHONE_RE)
+    ).cast("long")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("t2"), T.PII_EMAIL_RE, "<EMAIL>"),
+        T.PII_PHONE_RE, "<PHONE>",
+    )
+    return base.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        ((n_emails + n_phones) > 0).alias("has_pii"),
+        F.sha2(redacted, 256).alias("clean_hash"),
+    )
+
+
+@register(
     "source_mix",
     f"""
 SELECT source, lang, COUNT(*) AS n_docs,
