@@ -853,6 +853,91 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.packing import pack_chunks, pack_chunks_sql  # noqa: E402
+
+
+@register("seq_pack", pack_chunks_sql(128))
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence PACKING manifest (GPT-style concat-and-chunk): per
+    document its global token offset and first/last 128-token training
+    chunk. The global offset is an exclusive prefix sum over the
+    doc_id total order — computed with the scalable two-pass form
+    (range-bucketed partial sums → broadcast offsets → bucket-local
+    window), NEVER a partition-less global window; see
+    operators/packing.py for the 100 TB analysis."""
+    return pack_chunks(_docs(spark, sf_dir), ctx=128)
+
+
+_TOP_TERMS_HOT_DF = 200  # fixture df range is 25..402 → both paths live
+
+
+@register(
+    "top_terms",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({T.tokens_sql('text')}) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+dfv AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, tok, tf, df, n_docs, rk FROM (
+  SELECT t.doc_id, t.tok, t.tf AS tf, d.df AS df,
+         (SELECT n_docs FROM nd) AS n_docs,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY t.tf DESC, d.df ASC, t.tok ASC) AS rk
+  FROM tf t JOIN dfv d ON d.tok = t.tok)
+WHERE rk <= 3
+""",
+)
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 DISTINCTIVE terms — the tf·idf-style term
+    extraction step, ranked by the integer-only total order
+    (tf DESC, df ASC, token): highest in-doc frequency, rarest in the
+    corpus, deterministic tie-break. The exact (tf, df, n_docs)
+    triple is emitted so any idf weighting can be applied downstream
+    without re-scanning (ranking by a float tf·ln(N/df) directly
+    would hang cross-engine parity on libm's non-correctly-rounded
+    log — SURVEY.md §7.3 item 1).
+
+    Scale shape: tf is a map-side-combined (doc, token) aggregate; the
+    df join is the classic Zipf-skew hazard (every document of a
+    100 TB corpus contains "the", so shuffling tf⋈df on token funnels
+    the head of the vocabulary into single reducers). The join is
+    therefore SPLIT: document-frequency head (df > {_TOP_TERMS_HOT_DF})
+    joins by BROADCAST — by Zipf the head is tiny — and only the
+    hot-key-free tail takes the shuffle path. The final top-3 window is
+    per-document (doc-vocabulary-bounded)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens_expr(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    # vocabulary-sized; localCheckpoint so the hot/cold split doesn't
+    # recompute the corpus aggregate three times (house style for
+    # small reused tables — operators/dedup.py)
+    dfv = (
+        tf.groupBy("tok").agg(F.count("*").alias("df")).localCheckpoint()
+    )
+    hot = dfv.filter(F.col("df") > _TOP_TERMS_HOT_DF)
+    cold = dfv.filter(F.col("df") <= _TOP_TERMS_HOT_DF)
+    tagged = tf.join(F.broadcast(hot), "tok", "left")
+    scored = tagged.filter(F.col("df").isNotNull()).unionByName(
+        tagged.filter(F.col("df").isNull()).drop("df").join(cold, "tok")
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "tok", "tf", "df", "n_docs", "rk")
+    )
+
+
 @register("repetition_ngrams", T.repetition_sql("text"))
 def q_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-word-3-gram repetition signal (Gopher repetition-rule
@@ -1739,6 +1824,73 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.select(
         "event_id", "user_id",
         F.sum("is_new").over(wsum).alias("session_idx"),
+    )
+
+
+@register(
+    "event_asof",
+    """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS t_us
+  FROM events
+),
+c AS (
+  SELECT event_id, user_id, event_type, t_us,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END
+                    IGNORE NULLS) OVER w AS click_event_id,
+         last_value(CASE WHEN event_type = 'click' THEN t_us END
+                    IGNORE NULLS) OVER w AS click_t_us,
+         last_value(CASE WHEN event_type = 'click' THEN value END
+                    IGNORE NULLS) OVER w AS click_value
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, click_event_id, click_value,
+       t_us - click_t_us AS gap_us
+FROM c WHERE event_type = 'error'
+""",
+)
+def q_event_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each `error` event matched to the same user's most
+    recent preceding `click` (stream order = (microsecond ts,
+    event_id) — microseconds so sub-second orderings agree across
+    engines, event_id so exact ties are deterministic). Expressed as
+    one per-user carry-forward window over a SINGLE scan of events —
+    no self-join, no range explosion; the same shape `sessionize`
+    uses, partition size bounded by the hottest user's history (for a
+    pathological single-user firehose, the two-pass time-bucketed
+    carry — operators/packing.py's prefix pattern with per-(user,
+    bucket) local carries — drops in without changing results).
+    `click_value` is carried verbatim (no float arithmetic), `gap_us`
+    is exact integer microseconds."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value",
+        # parquet ts is TIMESTAMP_NTZ; the cast interprets it in the
+        # session timezone (UTC here) — the same convention
+        # sessionize's unix_timestamp path relies on
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_click = F.col("event_type") == "click"
+    c = ev.select(
+        "event_id", "user_id", "event_type", "t_us",
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+        .over(w).alias("click_event_id"),
+        F.last(F.when(is_click, F.col("t_us")), ignorenulls=True)
+        .over(w).alias("click_t_us"),
+        F.last(F.when(is_click, F.col("value")), ignorenulls=True)
+        .over(w).alias("click_value"),
+    )
+    return c.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "click_event_id", "click_value",
+        (F.col("t_us") - F.col("click_t_us")).alias("gap_us"),
     )
 
 
