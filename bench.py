@@ -82,6 +82,14 @@ EXTENDED = [
     "span_dedup",
     "image_decode",
     "corpus_clean",
+    "pii_scrub",
+    "source_mix",
+    "seq_pack",
+    "top_terms",
+    "event_asof",
+    "event_props_agg",
+    "event_rollup",
+    "event_pivot",
 ]
 
 # Queries timed for the scaling ratio: the flagship spatial-join +

@@ -11,6 +11,7 @@ order-insensitive value hash is stable (SURVEY.md §7.3 item 1).
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -906,12 +907,21 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     therefore SPLIT: document-frequency head (df > {_TOP_TERMS_HOT_DF})
     joins by BROADCAST — by Zipf the head is tiny — and only the
     hot-key-free tail takes the shuffle path. The final top-3 window is
-    per-document (doc-vocabulary-bounded)."""
+    per-document (doc-vocabulary-bounded), and Spark's rank-limit
+    pushdown (WindowGroupLimit) prunes to ≤3 rows per doc BEFORE the
+    window shuffle. Because the hot/cold split consumes tf twice, tf
+    is materialized ONCE as a scratch-parquet stage table (the
+    `_shingle_stage` pattern) — without it each union branch re-runs
+    the corpus tokenize + aggregate, the query's dominant cost."""
     docs = _docs(spark, sf_dir)
     toks = docs.select(
         "doc_id", F.explode(T.tokens_expr(F.col("text"))).alias("tok")
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    tmp = _stream_scratch(spark, sf_dir, "upcp_tt_tf_")
+    toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/tf")
+    tf = spark.read.parquet(f"{tmp}/tf")
     # vocabulary-sized; localCheckpoint so the hot/cold split doesn't
     # recompute the corpus aggregate three times (house style for
     # small reused tables — operators/dedup.py)
@@ -1891,6 +1901,146 @@ def q_event_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", "click_event_id", "click_value",
         (F.col("t_us") - F.col("click_t_us")).alias("gap_us"),
+    )
+
+
+@register(
+    "event_props_agg",
+    """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_sum,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+FROM events GROUP BY event_type
+""",
+)
+def q_event_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured scan: extract the integer `$.k` field out of the
+    JSON `props` column and aggregate it per event type — the metadata
+    parse every webtext pipeline runs over its crawl sidecars.
+    `get_json_object` is a JVM expression (Jackson inside codegen; no
+    Python, no Arrow), so the parse rides the same scan as the
+    aggregate: one pass, map-side combined, all-integer measures. At
+    100 TB the JSON column dominates the scan bytes; the plan reads
+    only (event_type, props) — column pruning is what matters, and a
+    stored `k` (schema'd at ingest) would drop the parse entirely."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+@register(
+    "event_rollup",
+    """
+SELECT event_type,
+       epoch_us(ts) // 86400000000 AS day_bkt,
+       CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+       CAST(GROUPING(epoch_us(ts) // 86400000000) AS BIGINT) AS g_day,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS v_sum_e6
+FROM events
+GROUP BY ROLLUP (event_type, epoch_us(ts) // 86400000000)
+""",
+)
+def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP report: (event_type, UTC-day) leaf cells
+    plus per-type subtotals plus the grand total in ONE aggregate —
+    the grouping-sets operator class. Spark expands the rollup into a
+    single Expand + hash-aggregate (one scan, map-side partials for
+    every grouping set simultaneously); explicit GROUPING flags
+    disambiguate subtotal rows from genuine NULL keys. The day bucket
+    is integer microseconds DIV 86.4e9 — no calendar/timezone
+    function, so both engines bucket identically — and the double
+    `value` is floored to integer micro-units before SUM so every
+    total is order-free (bigint) rather than a float reduction whose
+    value depends on partitioning."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS timestamp)) DIV 86400000000")
+        .alias("day_bkt"),
+        F.floor(F.col("value") * F.lit(1000000.0))
+        .cast("long")
+        .alias("v_e6"),
+    )
+    return (
+        ev.rollup("event_type", "day_bkt")
+        .agg(
+            F.grouping("event_type").cast("long").alias("g_type"),
+            F.grouping("day_bkt").cast("long").alias("g_day"),
+            F.count("*").alias("n"),
+            F.sum("v_e6").alias("v_sum_e6"),
+        )
+        .select(
+            "event_type", "day_bkt", "g_type", "g_day", "n", "v_sum_e6"
+        )
+    )
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "event_pivot",
+    f"""
+SELECT user_id,
+       {", ".join(
+           f"CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0)"
+           f" AS BIGINT) AS n_{t}" for t in _PIVOT_TYPES)},
+       CAST(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS v_sum_e6
+FROM events GROUP BY user_id
+""",
+)
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user wide activity profile — one column per event
+    type — via Spark's relational pivot operator. The pivot VALUES are
+    passed explicitly ({_PIVOT_TYPES!r}), which matters twice at
+    scale: it skips the extra distinct-values job Spark otherwise
+    runs, and it fixes the output schema regardless of which types a
+    data slice happens to contain. The plan is a single hash
+    aggregate keyed on user_id with one pivot-count + one micro-unit
+    sum per row — map-side combined, no Expand, no second shuffle.
+    The oracle is the equivalent conditional aggregation (pivot is
+    syntactic sugar over it)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * F.lit(1000000.0))
+        .cast("long")
+        .alias("v_e6"),
+    )
+    counted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(
+            # count(*) is invalid inside Pivot — count a literal
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v_e6").alias("s"),
+        )
+    )
+    v_sum = reduce(
+        lambda a, b: a + b,
+        [F.coalesce(F.col(f"{t}_s"), F.lit(0)) for t in _PIVOT_TYPES],
+    )
+    return counted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"n_{t}")
+            for t in _PIVOT_TYPES
+        ],
+        v_sum.alias("v_sum_e6"),
     )
 
 
