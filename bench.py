@@ -90,6 +90,7 @@ EXTENDED = [
     "event_props_agg",
     "event_rollup",
     "event_pivot",
+    "hll_distinct",
 ]
 
 # Queries timed for the scaling ratio: the flagship spatial-join +

@@ -2044,6 +2044,26 @@ def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.sketch import hll_distinct, hll_distinct_sql  # noqa: E402
+
+
+@register(
+    "hll_distinct",
+    hll_distinct_sql("events", "CAST(user_id AS VARCHAR)"),
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user sketch (m=64, deterministic sha-256
+    hash, bit-exact in BOTH engines — see operators/sketch.py). The
+    register table is 64 integers whatever the input size; the partial
+    aggregate is map-side max(rho), and two sketches merge by
+    element-wise max (pinned exactly by tests/test_sketch.py). Emits
+    (m, v_zero, s55, est_e3): the integer harmonic sum keeps the
+    distributed reduction order-free; only the single final estimate
+    expression touches doubles."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hll_distinct(ev, "CAST(user_id AS STRING)")
+
+
 def _stream_scratch(spark: SparkSession, sf_dir: str, prefix: str) -> str:
     """Fresh scratch dir for a streaming query's input copy +
     checkpoint + sink, cleared at the start of every invocation so
