@@ -8,8 +8,6 @@ count, and (b) the physical plan's Window must partition by bucket.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from urban_pointcloud_processing_spark.operators.packing import pack_chunks
 
 SF = "/root/testdata/sf0.001"

@@ -38,12 +38,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-M = 64          # registers (p = 6 bucket bits)
-W_BITS = 54     # 60-bit hash minus 6 bucket bits
-ALPHA_M = 0.709  # alpha_64
+P = 6                 # bucket bits — the ONE tunable
+H_BITS = 60           # hash width (15 hex chars of sha-256)
+M = 1 << P            # registers
+W_BITS = H_BITS - P   # suffix bits feeding rho
+RHO_MAX = W_BITS + 1  # rho for an all-zero suffix
+ALPHA_M = 0.709       # alpha for m = 64; re-derive if P changes
 
-# 2^55 as an exact double literal (mirrored in the SQL oracle)
-_SCALE_55 = float(1 << 55)
+# 2^RHO_MAX as an exact double literal (mirrored in the SQL oracle)
+_SCALE = float(1 << RHO_MAX)
 
 
 def hll_hash_expr(col_sql: str) -> str:
@@ -63,9 +66,9 @@ def hll_sketch(df: DataFrame, key_sql: str) -> DataFrame:
     h = df.selectExpr(f"{hll_hash_expr(key_sql)} AS h")
     reg = (
         h.selectExpr(
-            "h % 64 AS bucket",
-            "CASE WHEN h DIV 64 = 0 THEN CAST(55 AS BIGINT) "
-            "ELSE 55 - length(bin(h DIV 64)) END AS rho",
+            f"h % {M} AS bucket",
+            f"CASE WHEN h DIV {M} = 0 THEN CAST({RHO_MAX} AS BIGINT) "
+            f"ELSE {RHO_MAX} - length(bin(h DIV {M})) END AS rho",
         )
         .groupBy("bucket")
         .agg(F.max("rho").alias("rho"))
@@ -86,24 +89,31 @@ def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
 
 
 def hll_estimate(registers: DataFrame) -> DataFrame:
-    """One-row summary from a register table: m, v_zero (empty
-    registers), s55 (integer harmonic sum at scale 2^55) and the raw
-    HLL estimate in milli-units (`est_e3`)."""
+    """One-row summary from a register table: m (register count, read
+    from the data), v_zero (empty registers), s55 (integer harmonic
+    sum at scale 2^RHO_MAX) and the raw HLL estimate in milli-units
+    (`est_e3`). The estimate uses the DATA-derived m so a register
+    table of unexpected size can't silently pair with the m=64
+    constant — though ALPHA_M itself is only correct for m = 64."""
     agg = registers.agg(
         F.count("*").alias("m"),
         F.sum(F.when(F.col("rho") == 0, 1).otherwise(0))
         .cast("long")
         .alias("v_zero"),
-        F.sum(F.expr("CAST(power(2.0, CAST(55 - rho AS DOUBLE)) AS BIGINT)"))
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({RHO_MAX} - rho AS INT))"
+            )
+        )
         .cast("long")
         .alias("s55"),
     )
-    # power(2.0, k) is exact for integer k ≤ 55 (no rounding — a pure
-    # bit-pattern construction), so the cast is an exact integer.
     est = F.floor(
-        ALPHA_M * (M * M) * _SCALE_55
+        F.lit(ALPHA_M)
+        * (F.col("m") * F.col("m")).cast("double")
+        * F.lit(_SCALE)
         / F.col("s55").cast("double")
-        * 1000.0
+        * F.lit(1000.0)
     ).cast("long")
     return agg.select("m", "v_zero", "s55", est.alias("est_e3"))
 
@@ -125,23 +135,23 @@ def hll_hash_sql(col_sql: str) -> str:
 
 def hll_distinct_sql(table: str, key_sql: str) -> str:
     est = (
-        f"CAST(FLOOR({ALPHA_M} * {M * M} * {_SCALE_55!r} "
+        f"CAST(FLOOR({ALPHA_M} * CAST(m * m AS DOUBLE) * {_SCALE!r} "
         f"/ CAST(s55 AS DOUBLE) * 1000.0) AS BIGINT)"
     )
     return f"""
 WITH h AS (SELECT {hll_hash_sql(key_sql)} AS h FROM {table}),
-b AS (SELECT h % 64 AS bucket, h // 64 AS w FROM h),
+b AS (SELECT h % {M} AS bucket, h // {M} AS w FROM h),
 r AS (SELECT bucket,
-             MAX(CASE WHEN w = 0 THEN CAST(55 AS BIGINT)
-                      ELSE 55 - length(bin(w)) END) AS rho
+             MAX(CASE WHEN w = 0 THEN CAST({RHO_MAX} AS BIGINT)
+                      ELSE {RHO_MAX} - length(bin(w)) END) AS rho
       FROM b GROUP BY bucket),
 regs AS (SELECT g.bucket, COALESCE(r.rho, 0) AS rho
-         FROM (SELECT CAST(range AS BIGINT) AS bucket FROM range(64)) g
+         FROM (SELECT CAST(range AS BIGINT) AS bucket FROM range({M})) g
          LEFT JOIN r ON r.bucket = g.bucket),
 s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
              CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS v_zero,
-             CAST(SUM(CAST(power(2.0, CAST(55 - rho AS DOUBLE)) AS BIGINT))
+             CAST(SUM(CAST(1 AS BIGINT) << CAST({RHO_MAX} - rho AS INTEGER))
                AS BIGINT) AS s55
       FROM regs)
 SELECT m, v_zero, s55, {est} AS est_e3 FROM s

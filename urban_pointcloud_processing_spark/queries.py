@@ -875,9 +875,10 @@ _TOP_TERMS_HOT_DF = 200  # fixture df range is 25..402 → both paths live
 @register(
     "top_terms",
     f"""
-WITH toks AS (
+WITH toks0 AS (
   SELECT doc_id, unnest({T.tokens_sql('text')}) AS tok FROM documents
 ),
+toks AS (SELECT doc_id, tok FROM toks0 WHERE tok <> ''),
 tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
 dfv AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
 nd AS (SELECT COUNT(*) AS n_docs FROM documents)
@@ -914,9 +915,12 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     `_shingle_stage` pattern) — without it each union branch re-runs
     the corpus tokenize + aggregate, the query's dominant cost."""
     docs = _docs(spark, sf_dir)
+    # split() of an empty/whitespace-only doc yields [''] — drop the
+    # empty token so it can't rank as a "distinctive term" (mirrored
+    # in the oracle's toks CTE)
     toks = docs.select(
         "doc_id", F.explode(T.tokens_expr(F.col("text"))).alias("tok")
-    )
+    ).filter(F.col("tok") != "")
     tmp = _stream_scratch(spark, sf_dir, "upcp_tt_tf_")
     toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).write.mode(
         "overwrite"
@@ -1998,9 +2002,11 @@ SELECT user_id,
        {", ".join(
            f"CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0)"
            f" AS BIGINT) AS n_{t}" for t in _PIVOT_TYPES)},
-       CAST(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS BIGINT)
-         AS v_sum_e6
-FROM events GROUP BY user_id
+       CAST(COALESCE(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)), 0)
+         AS BIGINT) AS v_sum_e6
+FROM events
+WHERE event_type IN ({", ".join(f"'{t}'" for t in _PIVOT_TYPES)})
+GROUP BY user_id
 """,
 )
 def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2008,18 +2014,27 @@ def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     type — via Spark's relational pivot operator. The pivot VALUES are
     passed explicitly ({_PIVOT_TYPES!r}), which matters twice at
     scale: it skips the extra distinct-values job Spark otherwise
-    runs, and it fixes the output schema regardless of which types a
-    data slice happens to contain. The plan is a single hash
-    aggregate keyed on user_id with one pivot-count + one micro-unit
-    sum per row — map-side combined, no Expand, no second shuffle.
-    The oracle is the equivalent conditional aggregation (pivot is
-    syntactic sugar over it)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id",
-        "event_type",
-        F.floor(F.col("value") * F.lit(1000000.0))
-        .cast("long")
-        .alias("v_e6"),
+    runs, and it fixes the output schema. The input is FILTERED to the
+    profiled type universe (mirrored in the oracle's WHERE), so every
+    measure — including the total — is defined over exactly the
+    pivoted types; without the filter, Spark's pivot would silently
+    drop out-of-universe rows that a plain conditional aggregation
+    keeps, a cross-engine divergence on open-world data. Per-type and
+    total sums coalesce to 0 (a user whose every profiled event has a
+    NULL value totals 0, not NULL, in both engines). The plan is a
+    two-level hash aggregate keyed on user_id — map-side combined, no
+    Expand. The oracle is the equivalent conditional aggregation
+    (pivot is syntactic sugar over it)."""
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type").isin(_PIVOT_TYPES))
+        .select(
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * F.lit(1000000.0))
+            .cast("long")
+            .alias("v_e6"),
+        )
     )
     counted = (
         ev.groupBy("user_id")
