@@ -91,6 +91,7 @@ EXTENDED = [
     "event_rollup",
     "event_pivot",
     "hll_distinct",
+    "cohort_retention",
 ]
 
 # Queries timed for the scaling ratio: the flagship spatial-join +

@@ -2061,6 +2061,66 @@ def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .operators.sketch import hll_distinct, hll_distinct_sql  # noqa: E402
 
+_WEEK_US = 604_800_000_000  # 7 × 86 400 × 10^6
+
+
+@register(
+    "cohort_retention",
+    f"""
+WITH su AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS s_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+act AS (
+  SELECT e.user_id,
+         su.s_us // {_WEEK_US} AS cohort_week,
+         (epoch_us(e.ts) // {_WEEK_US}) - (su.s_us // {_WEEK_US})
+           AS week_offset
+  FROM events e JOIN su ON su.user_id = e.user_id
+)
+SELECT cohort_week, week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM act WHERE week_offset >= 0
+GROUP BY cohort_week, week_offset
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by signup week (their first
+    `signup` event), counted DISTINCT per (cohort_week, week_offset)
+    over all their subsequent activity — the canonical product-
+    analytics rollup, and the registry's exact distinct-aggregate
+    class. Spark plans the single count(DISTINCT) as a de-dup regroup
+    (partial aggregate keyed (cohort, offset, user) → count) — no
+    Expand needed below two distinct aggs — so the distinct de-dup,
+    not the low-cardinality final group, carries the shuffle. All-integer epoch-µs week arithmetic, so both engines
+    bucket identically with no calendar/timezone semantics. The
+    signup dim and the activity scan co-partition on user_id (one
+    shuffle each side of the equi-join); negative offsets (same-week
+    activity before the signup row resolves to week 0; earlier weeks
+    are pre-signup) are excluded identically in both engines."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS timestamp))").alias("t_us"),
+    )
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("s_us"))
+    )
+    act = ev.join(su, "user_id").select(
+        "user_id",
+        F.expr(f"s_us DIV {_WEEK_US}").alias("cohort_week"),
+        (
+            F.expr(f"t_us DIV {_WEEK_US}") - F.expr(f"s_us DIV {_WEEK_US}")
+        ).alias("week_offset"),
+    )
+    return (
+        act.filter(F.col("week_offset") >= 0)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
 
 @register(
     "hll_distinct",
