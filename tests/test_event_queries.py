@@ -1,0 +1,103 @@
+"""Hand-built edge cases for the event-table query family — the
+situations the synthetic fixture can't guarantee to exercise."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from urban_pointcloud_processing_spark import queries as Q
+
+UTC = dt.timezone.utc
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_event_asof_no_preceding_click_is_null(spark, tmp_path):
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            # error BEFORE any click → NULL match; error after → click 2
+            (1, _ts("2024-01-01T00:00:00"), 7, "error", 1.0, "{}"),
+            (2, _ts("2024-01-01T00:01:00"), 7, "click", 2.5, "{}"),
+            (3, _ts("2024-01-01T00:02:30"), 7, "error", 3.0, "{}"),
+            # another user's click must not leak across users
+            (4, _ts("2024-01-01T00:02:00"), 8, "click", 9.0, "{}"),
+            (5, _ts("2024-01-01T00:03:00"), 9, "error", 0.5, "{}"),
+        ],
+    )
+    rows = {r["event_id"]: r for r in Q.QUERIES["event_asof"](spark, sf).collect()}
+    assert rows[1]["click_event_id"] is None and rows[1]["gap_us"] is None
+    assert rows[3]["click_event_id"] == 2
+    assert rows[3]["gap_us"] == 90_000_000
+    assert rows[3]["click_value"] == 2.5
+    assert rows[5]["click_event_id"] is None
+
+
+def test_event_asof_tie_breaks_on_event_id(spark, tmp_path):
+    t = _ts("2024-01-01T00:00:00")
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            (10, t, 1, "click", 1.0, "{}"),
+            (11, t, 1, "click", 2.0, "{}"),  # same ts — higher id wins
+            (12, _ts("2024-01-01T00:00:01"), 1, "error", 0.0, "{}"),
+        ],
+    )
+    row = Q.QUERIES["event_asof"](spark, sf).collect()[0]
+    assert row["click_event_id"] == 11 and row["click_value"] == 2.0
+
+
+def test_cohort_retention_excludes_pre_signup_weeks(spark, tmp_path):
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            # activity a week BEFORE signup → excluded; same-week-pre
+            # activity → week 0; next-week activity → week 1
+            (1, _ts("2024-01-01T00:00:00"), 1, "view", 0.0, "{}"),
+            (2, _ts("2024-01-10T00:00:00"), 1, "signup", 0.0, "{}"),
+            (3, _ts("2024-01-09T00:00:00"), 1, "view", 0.0, "{}"),
+            (4, _ts("2024-01-16T00:00:00"), 1, "view", 0.0, "{}"),
+            # user with no signup → absent entirely
+            (5, _ts("2024-01-10T00:00:00"), 2, "view", 0.0, "{}"),
+        ],
+    )
+    out = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in Q.QUERIES["cohort_retention"](spark, sf).collect()
+    }
+    offsets = {k[1] for k in out}
+    assert offsets == {0, 1}, out
+    assert all(v == 1 for v in out.values())
+
+
+def test_event_pivot_ignores_out_of_universe_types(spark, tmp_path):
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, _ts("2024-01-01T00:00:00"), 1, "click", 1.5, "{}"),
+            (2, _ts("2024-01-01T00:01:00"), 1, "refund", 99.0, "{}"),
+            # user with ONLY an out-of-universe type → no output row
+            (3, _ts("2024-01-01T00:02:00"), 2, "refund", 5.0, "{}"),
+        ],
+    )
+    rows = {r["user_id"]: r for r in Q.QUERIES["event_pivot"](spark, sf).collect()}
+    assert set(rows) == {1}
+    assert rows[1]["n_click"] == 1
+    # the refund's 99.0 must NOT leak into the profiled total
+    assert rows[1]["v_sum_e6"] == 1_500_000

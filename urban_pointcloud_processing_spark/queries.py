@@ -905,7 +905,7 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df join is the classic Zipf-skew hazard (every document of a
     100 TB corpus contains "the", so shuffling tf⋈df on token funnels
     the head of the vocabulary into single reducers). The join is
-    therefore SPLIT: document-frequency head (df > {_TOP_TERMS_HOT_DF})
+    therefore SPLIT: document-frequency head (df > _TOP_TERMS_HOT_DF)
     joins by BROADCAST — by Zipf the head is tiny — and only the
     hot-key-free tail takes the shuffle path. The final top-3 window is
     per-document (doc-vocabulary-bounded), and Spark's rank-limit
