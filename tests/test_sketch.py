@@ -51,6 +51,25 @@ def test_estimate_close_to_truth(spark):
     assert abs(est - truth) / truth < 0.4, (est, truth)
 
 
+def test_registers_match_independent_python_hll(spark):
+    """The Spark sketch must equal a from-first-principles Python HLL
+    (hashlib sha-256, int.bit_length) — an INDEPENDENT third
+    implementation, so the Spark/DuckDB pair can't agree on a wrong
+    hash or rho convention."""
+    import hashlib
+
+    keys = [str(i * 37) for i in range(500)]
+    expected = {b: 0 for b in range(M)}
+    for k in keys:
+        h = int(hashlib.sha256(k.encode()).hexdigest()[:15], 16)
+        bucket, w = h % M, h // M
+        rho = 55 - w.bit_length() if w else 55
+        expected[bucket] = max(expected[bucket], rho)
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    assert _regs(hll_sketch(df, "k")) == expected
+
+
 def test_estimate_monotone_in_cardinality(spark):
     """More distinct keys must not shrink the register table: every
     register of the subset sketch is <= the full sketch's."""
