@@ -1,11 +1,18 @@
 """Hand-built edge cases for the event-table query family — the
-situations the synthetic fixture can't guarantee to exercise."""
+situations the synthetic fixture can't guarantee to exercise. Every
+case is ALSO run through the registered DuckDB oracle on the same
+rows (the sf0.01 parity gate can't see e.g. equal-timestamp ties, so
+a tie-handling divergence would otherwise survive both suites)."""
 
 from __future__ import annotations
 
 import datetime as dt
 
+import duckdb
+
 from urban_pointcloud_processing_spark import queries as Q
+
+from .parity import _canon
 
 UTC = dt.timezone.utc
 
@@ -24,6 +31,25 @@ def _ts(s):
     return dt.datetime.fromisoformat(s)
 
 
+def _assert_oracle_agrees(spark_df, sf, name):
+    """Run the registered oracle over ONLY the events view (the other
+    fixture tables don't exist in the tmp dir) and compare with the
+    driver's canonicalization."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    res = con.execute(Q.ORACLES[name])
+    d_cols = [c[0].lower() for c in res.description]
+    d_rows = [tuple(r) for r in res.fetchall()]
+    con.close()
+    s_cols = [c.lower() for c in spark_df.columns]
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    assert sorted(s_cols) == sorted(d_cols)
+    assert _canon(s_rows, s_cols)[0] == _canon(d_rows, d_cols)[0]
+
+
 def test_event_asof_no_preceding_click_is_null(spark, tmp_path):
     sf = _write_events(
         spark,
@@ -38,7 +64,9 @@ def test_event_asof_no_preceding_click_is_null(spark, tmp_path):
             (5, _ts("2024-01-01T00:03:00"), 9, "error", 0.5, "{}"),
         ],
     )
-    rows = {r["event_id"]: r for r in Q.QUERIES["event_asof"](spark, sf).collect()}
+    out = Q.QUERIES["event_asof"](spark, sf)
+    _assert_oracle_agrees(out, sf, "event_asof")
+    rows = {r["event_id"]: r for r in out.collect()}
     assert rows[1]["click_event_id"] is None and rows[1]["gap_us"] is None
     assert rows[3]["click_event_id"] == 2
     assert rows[3]["gap_us"] == 90_000_000
@@ -57,7 +85,9 @@ def test_event_asof_tie_breaks_on_event_id(spark, tmp_path):
             (12, _ts("2024-01-01T00:00:01"), 1, "error", 0.0, "{}"),
         ],
     )
-    row = Q.QUERIES["event_asof"](spark, sf).collect()[0]
+    out = Q.QUERIES["event_asof"](spark, sf)
+    _assert_oracle_agrees(out, sf, "event_asof")
+    row = out.collect()[0]
     assert row["click_event_id"] == 11 and row["click_value"] == 2.0
 
 
@@ -76,9 +106,11 @@ def test_cohort_retention_excludes_pre_signup_weeks(spark, tmp_path):
             (5, _ts("2024-01-10T00:00:00"), 2, "view", 0.0, "{}"),
         ],
     )
+    res = Q.QUERIES["cohort_retention"](spark, sf)
+    _assert_oracle_agrees(res, sf, "cohort_retention")
     out = {
         (r["cohort_week"], r["week_offset"]): r["n_users"]
-        for r in Q.QUERIES["cohort_retention"](spark, sf).collect()
+        for r in res.collect()
     }
     offsets = {k[1] for k in out}
     assert offsets == {0, 1}, out
@@ -96,7 +128,9 @@ def test_event_pivot_ignores_out_of_universe_types(spark, tmp_path):
             (3, _ts("2024-01-01T00:02:00"), 2, "refund", 5.0, "{}"),
         ],
     )
-    rows = {r["user_id"]: r for r in Q.QUERIES["event_pivot"](spark, sf).collect()}
+    out = Q.QUERIES["event_pivot"](spark, sf)
+    _assert_oracle_agrees(out, sf, "event_pivot")
+    rows = {r["user_id"]: r for r in out.collect()}
     assert set(rows) == {1}
     assert rows[1]["n_click"] == 1
     # the refund's 99.0 must NOT leak into the profiled total

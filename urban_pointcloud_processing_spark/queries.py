@@ -2092,7 +2092,8 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     class. Spark plans the single count(DISTINCT) as a de-dup regroup
     (partial aggregate keyed (cohort, offset, user) → count) — no
     Expand needed below two distinct aggs — so the distinct de-dup,
-    not the low-cardinality final group, carries the shuffle. All-integer epoch-µs week arithmetic, so both engines
+    not the low-cardinality final group, carries the shuffle.
+    All-integer epoch-µs week arithmetic, so both engines
     bucket identically with no calendar/timezone semantics. The
     signup dim and the activity scan co-partition on user_id (one
     shuffle each side of the equi-join); negative offsets (same-week
