@@ -881,3 +881,143 @@ SELECT doc_id, MIN(i) AS span_start,
        COUNT(*) AS n_dup_grams
 FROM sp GROUP BY doc_id, span_id
 """
+
+
+# ----------------------------------------------------------------------
+# Bloom-filter decontamination — the broadcast-BITSET scale path
+#
+# `decontaminate` above broadcasts the eval slice's distinct shingle
+# IDs (8 bytes each) and equi-joins. That is exact but its broadcast
+# grows linearly with the held-out benchmark suite; at a few billion
+# eval shingles the hash-set no longer fits an executor. The Bloom
+# variant caps the broadcast at a FIXED m-bit bitset (k positions per
+# shingle, k·m tunable): membership becomes k bit-probes against a
+# 2^16-bit array — no join, no per-row Python — at the price of
+# deterministic false positives (flagging is a superset of the exact
+# operator's; with m=65536 and fixture-scale eval sets the fp rate is
+# ~(k·n/m)^k ≈ 1e-9, i.e. usually identical output).
+#
+# Everything is integer arithmetic from the shared str_hash shingle id
+# through the (a·x+b mod p) mod m position family
+# (operators.sketch.uhash_sql), so DuckDB reproduces the identical
+# bitset. The oracle tests membership as `position ∈ eval-position
+# set` for every one of the k probes — mathematically identical to
+# the packed-word bit test (a bit is set iff SOME eval shingle hashed
+# to that position), without re-implementing word packing in SQL.
+#
+# Reference analog: none (decontamination is part of the training-data
+# extension); the exact-operator contract is decontaminate() above.
+# ----------------------------------------------------------------------
+
+BLOOM_M_BITS = 1 << 16   # bitset width (1024 longs when packed)
+BLOOM_K = 4              # probes per shingle (≤ len(sketch.UHASH_A))
+
+
+def _bloom_pos_sql(j: int, m: int) -> str:
+    from .sketch import uhash_sql
+
+    return uhash_sql("sid", j, m)
+
+
+def bloom_decontaminate(docs: DataFrame, n: int = 3, bench_mod: int = 97,
+                        min_hits: int = 3, m_bits: int = BLOOM_M_BITS,
+                        k: int = BLOOM_K,
+                        sh: DataFrame | None = None) -> DataFrame:
+    """(doc_id, n_bloom_hits, flagged) for every TRAINING doc:
+    n_bloom_hits = distinct shingles whose k Bloom probes all hit the
+    eval-slice bitset; flagged at ≥ min_hits.
+
+    The packed bitset (m_bits/64 longs) is collected to the driver and
+    re-broadcast as a one-row array — the same tiny-dim collect the
+    ANN family uses for its query matrix; on a cluster this is a
+    broadcast variable, and its size is FIXED by m_bits, independent
+    of the eval suite."""
+    if sh is None:
+        sh = shingle_table(docs, n)
+    spark = docs.sparkSession
+    n_words = m_bits >> 6
+
+    eval_pos = (
+        sh.filter(F.col("doc_id") % bench_mod == 0)
+        .select("sid").distinct()
+        .select(
+            F.explode(
+                F.array(*[
+                    F.expr(_bloom_pos_sql(j, m_bits)) for j in range(k)
+                ])
+            ).alias("p")
+        )
+        .distinct()
+    )
+    words = (
+        eval_pos.select(
+            (F.col("p") / 64).cast("long").alias("w"),
+            (F.col("p") % 64).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)))"
+        ).alias("mask"))
+    )
+    wmap = {r["w"]: r["mask"] for r in words.collect()}
+    bitset = [wmap.get(i, 0) for i in range(n_words)]
+    bset_df = spark.createDataFrame([(bitset,)], "bloom array<bigint>")
+
+    probe = (
+        sh.filter(F.col("doc_id") % bench_mod != 0)
+        .crossJoin(F.broadcast(bset_df))
+        .selectExpr(
+            "doc_id", "sid", "bloom",
+            *[f"{_bloom_pos_sql(j, m_bits)} AS p{j}" for j in range(k)],
+        )
+    )
+    hit = " AND ".join(
+        f"(shiftright(element_at(bloom, CAST(p{j} DIV 64 AS INT) + 1), "
+        f"CAST(p{j} % 64 AS INT)) & 1) = 1"
+        for j in range(k)
+    )
+    # shiftright is arithmetic, so bit 63 (negative word) still tests
+    # correctly: (word >> 63) & 1 = 1 when set
+    hits = probe.filter(F.expr(hit)).groupBy("doc_id").agg(
+        F.countDistinct("sid").alias("n_bloom_hits")
+    )
+    return (
+        docs.filter(F.col("doc_id") % bench_mod != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bloom_hits"), F.lit(0)).alias("n_bloom_hits"),
+            (F.coalesce(F.col("n_bloom_hits"), F.lit(0)) >= min_hits)
+            .alias("flagged"),
+        )
+    )
+
+
+def bloom_decontaminate_sql(n: int = 3, bench_mod: int = 97,
+                            min_hits: int = 3, m_bits: int = BLOOM_M_BITS,
+                            k: int = BLOOM_K) -> str:
+    probes = "\n    AND ".join(
+        f"({_bloom_pos_sql(j, m_bits)}) IN (SELECT p FROM pos)"
+        for j in range(k)
+    )
+    pos_union = " UNION ".join(
+        f"SELECT ({_bloom_pos_sql(j, m_bits)}) AS p FROM ev"
+        for j in range(k)
+    )
+    return f"""
+WITH {shingle_cte_sql(n)},
+ev AS (SELECT DISTINCT sid FROM shingles WHERE doc_id % {bench_mod} = 0),
+pos AS ({pos_union}),
+hit AS (
+  SELECT s.doc_id, COUNT(DISTINCT s.sid) AS n_bloom_hits
+  FROM shingles s
+  WHERE s.doc_id % {bench_mod} != 0
+    AND {probes}
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id, COALESCE(h.n_bloom_hits, 0) AS n_bloom_hits,
+       COALESCE(h.n_bloom_hits, 0) >= {min_hits} AS flagged
+FROM documents d LEFT JOIN hit h ON h.doc_id = d.doc_id
+WHERE d.doc_id % {bench_mod} != 0
+"""

@@ -156,3 +156,140 @@ s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
       FROM regs)
 SELECT m, v_zero, s55, {est} AS est_e3 FROM s
 """
+
+
+# ----------------------------------------------------------------------
+# 2-universal hash family over the cross-engine str_hash id
+#
+# h_j(sid) = ((A_J[j] * sid + B_J[j]) % HASH_MOD) % m — the standard
+# (a·x + b mod p) mod m family, seeded per derived function j. sid is
+# the proven str_hash polynomial (functions.text, < HASH_MOD = 1e9+7),
+# so A_J[j] * sid < 1e9 * (1e9 + 6) < 2^60: every intermediate fits a
+# 64-bit signed integer in BOTH engines — no HUGEINT promotion on the
+# DuckDB side, no overflow on the JVM side. Shared by the Bloom
+# filter (operators.dedup.bloom_decontaminate) and the count-min
+# sketch below.
+# ----------------------------------------------------------------------
+
+HASH_MOD = 1_000_000_007  # = functions.text.HASH_MOD (kept literal —
+                          # changing either breaks recorded oracles)
+
+UHASH_A = (961_748_941, 982_451_653, 899_809_343, 879_190_841)
+UHASH_B = (316_691, 520_381, 104_729, 15_485_863)
+
+
+def uhash_sql(sid_expr: str, j: int, m: int) -> str:
+    """((a_j * sid + b_j) % p) % m — identical text works as Spark SQL
+    and DuckDB SQL (integer ops only)."""
+    return (
+        f"(({UHASH_A[j]} * ({sid_expr}) + {UHASH_B[j]}) "
+        f"% {HASH_MOD}) % {m}"
+    )
+
+
+# ----------------------------------------------------------------------
+# Count-min sketch — frequency estimation / heavy hitters
+#
+# The counting counterpart of the HLL sketch above: estimate per-key
+# occurrence counts with a fixed d×w counter table instead of an exact
+# vocabulary-sized groupBy held in memory. est(t) = min_j cms[j][h_j(t)]
+# ≥ exact(t) always (counters only over-count on collisions), so a
+# "heavy hitter" report from the sketch has perfect recall. Everything
+# is integer arithmetic on both engines — the sketch, the estimates
+# and the threshold test reproduce bit-exactly in DuckDB.
+#
+# Scale shape: the ONLY corpus-sized operation is the token groupBy
+# that builds the vocabulary count table (map-side combine); the
+# sketch itself is d·w rows (a broadcast), built FROM the vocab table
+# — at 100 TB the d×w counter grid is what ships between stages, not
+# the vocabulary. d and w are deliberately small here (w=32 forces
+# real collisions at fixture scale so min-over-rows is exercised, not
+# vacuous).
+# ----------------------------------------------------------------------
+
+CMS_D = 4    # hash rows (≤ len(UHASH_A))
+CMS_W = 32   # counters per row
+
+
+def cms_heavy_hitters(docs: DataFrame, tokens_expr_col, pm: int = 33,
+                      d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """(tok, n_exact, cms_est, is_heavy) for every distinct token.
+
+    ``tokens_expr_col`` is a bound Column producing the token array
+    (functions.text.tokens_expr over the text column). is_heavy uses
+    the SKETCH estimate: cms_est · 1000 ≥ pm · total_occurrences
+    (pm per-mille) — all-integer, order-free. The exact count rides
+    along so consumers (and the parity gate) can see the
+    overestimation error explicitly."""
+    from ..functions.text import str_hash_udf
+
+    # tc feeds THREE consumers (sketch build, estimate join, corpus
+    # total); localCheckpoint materializes the corpus-sized token
+    # aggregate once — the checkpointed table itself is only
+    # vocabulary-sized (house style for small reused tables,
+    # operators/dedup.py)
+    tc = (
+        docs.select(F.explode(tokens_expr_col).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    th = tc.select("tok", "n", str_hash_udf()(F.col("tok")).alias("sid"))
+    rows = th.select(
+        "tok", "n",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).cast("long").alias("j"),
+                    F.expr(uhash_sql("sid", j, w)).alias("col"),
+                )
+                for j in range(d)
+            ])
+        ).alias("h"),
+    ).select("tok", "n", "h.j", "h.col")
+    sketch = rows.groupBy("j", "col").agg(F.sum("n").alias("cnt"))
+    est = (
+        rows.join(F.broadcast(sketch), ["j", "col"])
+        .groupBy("tok")
+        .agg(
+            F.max("n").alias("n_exact"),
+            F.min("cnt").alias("cms_est"),
+        )
+    )
+    total = tc.agg(F.sum("n").alias("total"))
+    return est.crossJoin(F.broadcast(total)).select(
+        "tok", "n_exact", "cms_est",
+        (F.col("cms_est") * 1000 >= F.col("total") * pm).alias("is_heavy"),
+    )
+
+
+def cms_heavy_hitters_sql(tokens_sql_expr: str, pm: int = 33,
+                          d: int = CMS_D, w: int = CMS_W) -> str:
+    from ..functions.text import str_hash_sql
+
+    hp = ", ".join(
+        f"({j}, {UHASH_A[j]}, {UHASH_B[j]})" for j in range(d)
+    )
+    return f"""
+WITH toks AS (SELECT unnest({tokens_sql_expr}) AS tok FROM documents),
+tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+th AS (SELECT tok, n, {str_hash_sql('tok')} AS sid FROM tc),
+hp(j, a, b) AS (VALUES {hp}),
+rows_ AS (
+  SELECT tok, n, hp.j AS j, ((hp.a * sid + hp.b) % {HASH_MOD}) % {w} AS col
+  FROM th CROSS JOIN hp
+),
+sketch AS (
+  SELECT j, col, CAST(SUM(n) AS BIGINT) AS cnt
+  FROM rows_ GROUP BY j, col
+),
+est AS (
+  SELECT r.tok, MAX(r.n) AS n_exact, MIN(s.cnt) AS cms_est
+  FROM rows_ r JOIN sketch s ON s.j = r.j AND s.col = r.col
+  GROUP BY r.tok
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM tc)
+SELECT tok, n_exact, cms_est,
+       cms_est * 1000 >= total * {pm} AS is_heavy
+FROM est CROSS JOIN tot
+"""

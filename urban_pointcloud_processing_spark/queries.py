@@ -854,6 +854,98 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "url_domains",
+    """
+WITH u AS (
+  SELECT doc_id, lang, n_chars,
+         'https://' ||
+         CASE doc_id % 3 WHEN 0 THEN 'www' WHEN 1 THEN 'blog'
+              ELSE 'cdn.media' END
+         || '.site' || CAST(doc_id % 37 AS VARCHAR) || '.' ||
+         CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+              WHEN 2 THEN 'co.uk' ELSE 'nl' END
+         || '/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+h AS (
+  SELECT doc_id, lang, n_chars,
+         regexp_extract(url, '^https?://([^/]+)/', 1) AS host
+  FROM u
+),
+r AS (
+  SELECT doc_id, lang, n_chars,
+         CASE WHEN host LIKE '%.co.uk'
+              THEN array_to_string((string_split(host, '.'))[-3:], '.')
+              ELSE array_to_string((string_split(host, '.'))[-2:], '.')
+         END AS reg_domain
+  FROM h
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM documents)
+SELECT reg_domain,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(*) * CAST(1000000 AS BIGINT) // tot AS share_e6
+FROM r CROSS JOIN tot
+GROUP BY reg_domain, tot
+""",
+)
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain rollup — the per-site report of a
+    Common-Crawl-style crawl (input_hint's url column): parse the host
+    out of each page URL, collapse it to the registrable domain with a
+    public-suffix-style rule (multi-label suffixes like `co.uk` keep
+    three labels, everything else two), and aggregate docs / distinct
+    languages / total chars / corpus share per domain.
+
+    The documents fixture has no url column, so a deterministic URL is
+    synthesized from doc_id (subdomain, site id, TLD — the pii_scrub
+    footer pattern); the oracle builds the identical string. Scale
+    shape: one scan, map-only string work (JVM regexp + split — the
+    suffix rule is a Column CASE, no Python), then a map-side-combined
+    aggregate on the domain key (cardinality = number of sites, ≪
+    corpus); the corpus total broadcasts as a one-row dim. Share uses
+    integer ×1e6 DIV — exact, order-free."""
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(i % 3 == 0, F.lit("www"))
+        .when(i % 3 == 1, F.lit("blog"))
+        .otherwise(F.lit("cdn.media")),
+        F.lit(".site"), (i % 37).cast("string"), F.lit("."),
+        F.when(i % 4 == 0, F.lit("com"))
+        .when(i % 4 == 1, F.lit("org"))
+        .when(i % 4 == 2, F.lit("co.uk"))
+        .otherwise(F.lit("nl")),
+        F.lit("/p/"), i.cast("string"),
+    )
+    host = F.regexp_extract(url, r"^https?://([^/]+)/", 1)
+    base = _docs(spark, sf_dir).select(
+        "lang", "n_chars", host.alias("host")
+    )
+    parts = F.split(F.col("host"), r"\.")
+    reg = F.when(
+        F.col("host").endswith(".co.uk"),
+        F.array_join(F.slice(parts, -3, 3), "."),
+    ).otherwise(F.array_join(F.slice(parts, -2, 2), "."))
+    agg = (
+        base.select("lang", "n_chars", reg.alias("reg_domain"))
+        .groupBy("reg_domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+    tot = _docs(spark, sf_dir).agg(F.count("*").alias("tot"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "reg_domain", "n_docs", "n_langs", "total_chars",
+        F.expr("n_docs * CAST(1000000 AS BIGINT) DIV tot")
+        .alias("share_e6"),
+    )
+
+
 from .operators.packing import pack_chunks, pack_chunks_sql  # noqa: E402
 
 
@@ -1270,6 +1362,25 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators import sketch as SK  # noqa: E402
+
+
+@register("cms_heavy_hitters", SK.cms_heavy_hitters_sql(T.tokens_sql("text")))
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters — frequency estimation with a
+    FIXED d×w counter grid instead of a vocabulary-sized exact table
+    (the counting sibling of hll_distinct): per distinct token its
+    exact count, its CMS estimate (min over d=4 hashed counter rows;
+    w=32 forces real collisions at fixture scale so the sketch is
+    exercised, not vacuous) and the ≥3.3%-of-corpus heavy-hitter
+    verdict FROM THE SKETCH. All-integer on both engines — see
+    operators/sketch.py for the 100 TB shape (the d·w grid is what
+    ships between stages, never the vocabulary)."""
+    return SK.cms_heavy_hitters(
+        _docs(spark, sf_dir), T.tokens_expr(F.col("text"))
+    )
+
+
 @register("ngram_jaccard", D.jaccard_pairs_sql(3, 0.5))
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs (shingle equi-join, never a
@@ -1337,6 +1448,21 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is scanned once, no shuffle grows with the eval side."""
     sh = _shingle_stage(spark, sf_dir, 3, "upcp_sh_dec_")
     return D.decontaminate(_docs(spark, sf_dir), 3, 97, 3, sh=sh)
+
+
+@register("bloom_decontaminate", D.bloom_decontaminate_sql(3, 97, 3))
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a FIXED-SIZE Bloom bitset instead of the
+    broadcast shingle-ID set: the eval slice's shingles set k=4 bits
+    each in a 2^16-bit array; a training shingle counts as a hit when
+    all four of its probe bits are set — k arithmetic bit-probes per
+    shingle, no join on the eval side, broadcast size independent of
+    the benchmark suite. Deterministic false positives make flagging a
+    superset of `decontaminate`'s; both engines build the identical
+    bitset so results still compare bit-exactly (see
+    operators/dedup.py § Bloom for the equivalence argument)."""
+    sh = _shingle_stage(spark, sf_dir, 3, "upcp_sh_bdec_")
+    return D.bloom_decontaminate(_docs(spark, sf_dir), 3, 97, 3, sh=sh)
 
 
 @register("simhash", D.simhash_sql())
@@ -4309,6 +4435,57 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sliding_window",
+    """
+WITH k(k) AS (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))),
+e AS (
+  SELECT epoch_us(ts) AS t_us, event_type, value FROM events
+),
+w AS (
+  SELECT ((t_us // 300000000) * 300000000) - k.k * 300000000 AS ws,
+         event_type, value
+  FROM e CROSS JOIN k
+  WHERE t_us - (((t_us // 300000000) * 300000000) - k.k * 300000000)
+        < 600000000
+)
+SELECT ws AS window_start_us, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS sum_value_e6
+FROM w GROUP BY ws, event_type
+""",
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows hopping every 5 minutes (the overlapping
+    sibling of tumbling_window, same op Structured Streaming uses for
+    windowed aggs): per (window, event_type) the event count and the
+    floor-e6-quantized value sum. Spark's built-in `window()` expands
+    each event into its ⌈size/slide⌉ = 2 windows, then a map-side-
+    combined aggregate on (window_start, type) — expansion factor is
+    a constant, the shuffle key is the window bucket. The oracle
+    reproduces the epoch-aligned window starts with integer epoch-µs
+    arithmetic (slide 300 s, size 600 s); window starts are emitted
+    as epoch µs so no calendar/timezone semantics are involved."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sl = ev.select(
+        F.window(F.col("ts"), "10 minutes", "5 minutes").alias("w"),
+        "event_type",
+        F.expr("CAST(FLOOR(value * 1000000.0) AS BIGINT)").alias("v_e6"),
+    )
+    return (
+        sl.groupBy(
+            F.unix_micros(F.col("w.start").cast("timestamp"))
+            .alias("window_start_us"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("v_e6").cast("long").alias("sum_value_e6"),
+        )
+    )
+
+
 from .sources.layers import road_strips_values_sql, roads_meta_df  # noqa: E402
 
 
@@ -5296,13 +5473,53 @@ def _certified_rounds(root: str | None = None) -> dict[str, int]:
     return out
 
 
-def _rotated(d: dict) -> dict:
-    cert = _certified_rounds()
+# Queries added AFTER round 5's 50-slot driver window was already
+# exactly full (13 never-certified + 37 stale-r03 — VERDICT r04 item
+# 2: adding more would evict stale queries from certification). They
+# sort LAST until any CORRECTNESS_r<round>.json with round ≥ the
+# mapped value is committed, then expire into the normal
+# never-certified-first ordering — self-maintaining, no manual edit
+# next round (tested in tests/test_registry_rotation.py).
+_DEFER_UNTIL_ROUND = {
+    "url_domains": 5,
+    "sliding_window": 5,
+    "bloom_decontaminate": 5,
+    "cms_heavy_hitters": 5,
+}
+
+
+def _latest_artifact_round(root: str | None = None) -> int:
+    """Highest round number among committed CORRECTNESS_r*.json files
+    (-1 if none)."""
+    import glob
+    import os
+    import re
+
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    best = -1
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best
+
+
+def _rotated(d: dict, root: str | None = None) -> dict:
+    cert = _certified_rounds(root)
+    latest = _latest_artifact_round(root)
     prio = {n: i for i, n in enumerate(_PRIORITY_R04)}
+
+    def _cert_key(n: str) -> int:
+        c = cert.get(n, -1)
+        if c < 0 and latest < _DEFER_UNTIL_ROUND.get(n, -1):
+            return 10**6                  # deferred newcomer: sort last
+        return c
+
     names = sorted(
         d,
         key=lambda n, _idx={n: i for i, n in enumerate(d)}: (
-            cert.get(n, -1),              # stalest official record first
+            _cert_key(n),                 # stalest official record first
             prio.get(n, len(prio)),       # hand priority within a tie
             _idx[n],                      # then registration order
         ),
