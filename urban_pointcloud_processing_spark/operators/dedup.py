@@ -951,7 +951,7 @@ def bloom_decontaminate(docs: DataFrame, n: int = 3, bench_mod: int = 97,
     )
     words = (
         eval_pos.select(
-            (F.col("p") / 64).cast("long").alias("w"),
+            F.expr("p DIV 64").alias("w"),
             (F.col("p") % 64).alias("bit"),
         )
         .groupBy("w")

@@ -5435,24 +5435,33 @@ _PRIORITY_R04 = [
 ]
 
 
-def _certified_rounds(root: str | None = None) -> dict[str, int]:
-    """query name → latest round whose committed CORRECTNESS_r*.json
-    records it fully green (rows+schema match, no error, and hash
-    match when a value-hash was taken). ``root`` overrides the repo
-    root (tests)."""
+def _artifact_paths(root: str | None = None) -> list[tuple[int, str]]:
+    """(round, path) for every committed CORRECTNESS_r*.json — the ONE
+    place artifact naming/location is known (certification ordering
+    and deferral expiry must never disagree on discovery)."""
     import glob
-    import json
     import os
     import re
 
     if root is None:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out: dict[str, int] = {}
+    out = []
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"_r(\d+)\.json$", path)
-        if not m:
-            continue
-        rnd = int(m.group(1))
+        if m:
+            out.append((int(m.group(1)), path))
+    return out
+
+
+def _certified_rounds(root: str | None = None) -> dict[str, int]:
+    """query name → latest round whose committed CORRECTNESS_r*.json
+    records it fully green (rows+schema match, no error, and hash
+    match when a value-hash was taken). ``root`` overrides the repo
+    root (tests)."""
+    import json
+
+    out: dict[str, int] = {}
+    for rnd, path in _artifact_paths(root):
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -5491,18 +5500,7 @@ _DEFER_UNTIL_ROUND = {
 def _latest_artifact_round(root: str | None = None) -> int:
     """Highest round number among committed CORRECTNESS_r*.json files
     (-1 if none)."""
-    import glob
-    import os
-    import re
-
-    if root is None:
-        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    best = -1
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        m = re.search(r"_r(\d+)\.json$", path)
-        if m:
-            best = max(best, int(m.group(1)))
-    return best
+    return max((rnd for rnd, _ in _artifact_paths(root)), default=-1)
 
 
 def _rotated(d: dict, root: str | None = None) -> dict:
