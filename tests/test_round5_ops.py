@@ -125,3 +125,63 @@ def test_sliding_window_matches_hand_recompute(spark):
         for r in Q.QUERIES["sliding_window"](spark, SF001).collect()
     }
     assert got == expect
+
+
+# ----------------------------------------------------------------------
+# domain_pagerank
+# ----------------------------------------------------------------------
+
+def _py_pagerank(doc_ids, iters=5):
+    """Independent pure-Python replica of the documented recurrence
+    (exact integer arithmetic) — not a port of the operator's Spark
+    code: dict-based, driver-style."""
+    from urban_pointcloud_processing_spark.operators.pagerank import (
+        _H_ADD, _H_MUL, _H_RED, D_DEN, D_NUM, SCALE,
+    )
+    from urban_pointcloud_processing_spark.functions.text import HASH_MOD
+
+    def dom(x):
+        tld = ("com", "org", "co.uk", "nl")[x % 4]
+        return f"site{x % 37}.{tld}"
+
+    edges = {}
+    for i in doc_ids:
+        h = (_H_MUL * (i % _H_RED) + _H_ADD) % HASH_MOD
+        k = (dom(i), dom(h))
+        edges[k] = edges.get(k, 0) + 1
+    outd = {}
+    for (s, _), w in edges.items():
+        outd[s] = outd.get(s, 0) + w
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    n = len(nodes)
+    base = (15 * SCALE) // (100 * n)
+    r = {v: SCALE // n for v in nodes}
+    for _ in range(iters):
+        nxt = {v: base for v in nodes}
+        for (s, d), w in edges.items():
+            nxt[d] += w * ((D_NUM * r[s]) // (D_DEN * outd[s]))
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_pure_python_reference(spark):
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    expect = _py_pagerank([r["doc_id"] for r in docs.select("doc_id").collect()])
+    got = {
+        r["domain"]: r["rank_e12"]
+        for r in Q.QUERIES["domain_pagerank"](spark, SF001).collect()
+    }
+    assert got == expect
+
+
+def test_pagerank_mass_and_motion(spark):
+    """Rank mass only LEAKS (DIV truncation + dangling targets), and
+    five iterations actually move rank off the uniform start."""
+    from urban_pointcloud_processing_spark.operators.pagerank import SCALE
+
+    rows = Q.QUERIES["domain_pagerank"](spark, SF001).collect()
+    total = sum(r["rank_e12"] for r in rows)
+    assert total <= SCALE
+    assert total > 0
+    uniform = SCALE // len(rows)
+    assert any(r["rank_e12"] != uniform for r in rows)

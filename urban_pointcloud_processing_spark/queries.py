@@ -946,6 +946,23 @@ def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.pagerank import domain_pagerank, domain_pagerank_sql  # noqa: E402
+
+
+@register("domain_pagerank", domain_pagerank_sql(5))
+def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-reputation PageRank: 5 exact integer-arithmetic damping
+    iterations over the synthesized per-page domain→domain link graph
+    (iterative weighted fixed point — the ranking sibling of the
+    engine's connected-components machinery). The only corpus-sized
+    stage is the edge aggregate; each iteration is a domain-sized
+    join + dst-keyed sum with a localCheckpointed frontier. Every
+    division is an integer DIV mirrored in the oracle's unrolled
+    CTEs, so all 5 iterations reproduce bit-exactly — see
+    operators/pagerank.py for bounds and the mass-leak semantics."""
+    return domain_pagerank(_docs(spark, sf_dir), 5)
+
+
 from .operators.packing import pack_chunks, pack_chunks_sql  # noqa: E402
 
 
@@ -5494,6 +5511,7 @@ _DEFER_UNTIL_ROUND = {
     "sliding_window": 5,
     "bloom_decontaminate": 5,
     "cms_heavy_hitters": 5,
+    "domain_pagerank": 5,
 }
 
 
