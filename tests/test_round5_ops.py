@@ -134,11 +134,10 @@ def test_sliding_window_matches_hand_recompute(spark):
 def _py_pagerank(doc_ids, iters=5):
     """Independent pure-Python replica of the documented recurrence
     (exact integer arithmetic) — not a port of the operator's Spark
-    code: dict-based, driver-style."""
-    from urban_pointcloud_processing_spark.operators.pagerank import (
-        _H_ADD, _H_MUL, _H_RED, D_DEN, D_NUM, SCALE,
-    )
-    from urban_pointcloud_processing_spark.functions.text import HASH_MOD
+    code: dict-based, driver-style, and with every constant LITERAL
+    (importing the operator's constants would let a constant-level
+    edit change both sides in lockstep)."""
+    SCALE = 10**12
 
     def dom(x):
         tld = ("com", "org", "co.uk", "nl")[x % 4]
@@ -146,7 +145,7 @@ def _py_pagerank(doc_ids, iters=5):
 
     edges = {}
     for i in doc_ids:
-        h = (_H_MUL * (i % _H_RED) + _H_ADD) % HASH_MOD
+        h = (2654435761 * (i % 1000003) + 12345) % 1000000007
         k = (dom(i), dom(h))
         edges[k] = edges.get(k, 0) + 1
     outd = {}
@@ -159,7 +158,7 @@ def _py_pagerank(doc_ids, iters=5):
     for _ in range(iters):
         nxt = {v: base for v in nodes}
         for (s, d), w in edges.items():
-            nxt[d] += w * ((D_NUM * r[s]) // (D_DEN * outd[s]))
+            nxt[d] += w * ((85 * r[s]) // (100 * outd[s]))
         r = nxt
     return r
 
@@ -185,3 +184,66 @@ def test_pagerank_mass_and_motion(spark):
     assert total > 0
     uniform = SCALE // len(rows)
     assert any(r["rank_e12"] != uniform for r in rows)
+
+
+def test_pagerank_domains_consistent_with_url_domains(spark):
+    """The docstrings claim pagerank's node universe is the
+    url_domains synthesis rule; pin the two copies of the rule
+    together: every pagerank SOURCE domain (a domain some page lives
+    on) must appear in url_domains' registrable-domain report, and
+    vice versa."""
+    from urban_pointcloud_processing_spark.operators.pagerank import (
+        _dom_expr,
+    )
+    from pyspark.sql import functions as F2
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    src = {
+        r["d"]
+        for r in docs.select(
+            _dom_expr(F2.col("doc_id")).alias("d")
+        ).distinct().collect()
+    }
+    reg = {
+        r["reg_domain"]
+        for r in Q.QUERIES["url_domains"](spark, SF001).collect()
+    }
+    assert src == reg
+
+
+def test_pagerank_sql_zero_iterations_is_valid(spark):
+    """iters=0 must be the uniform init on BOTH engines (the SQL
+    builder must not emit a dangling comma)."""
+    import duckdb
+
+    from urban_pointcloud_processing_spark.operators.pagerank import (
+        domain_pagerank, domain_pagerank_sql,
+    )
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    got = {
+        r["domain"]: r["rank_e12"]
+        for r in domain_pagerank(docs, 0).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF001}/documents.parquet')"
+    )
+    oracle = dict(con.execute(domain_pagerank_sql(0)).fetchall())
+    con.close()
+    assert got == oracle
+    assert len(set(got.values())) == 1  # uniform init
+
+
+def test_pagerank_empty_corpus_returns_empty(spark):
+    from urban_pointcloud_processing_spark.operators.pagerank import (
+        domain_pagerank,
+    )
+
+    empty = spark.read.parquet(f"{SF001}/documents.parquet").filter(
+        "doc_id < 0"
+    )
+    out = domain_pagerank(empty, 5)
+    assert out.collect() == []
+    assert out.columns == ["domain", "rank_e12"]

@@ -87,16 +87,18 @@ def domain_pagerank(docs: DataFrame, iters: int = ITERS) -> DataFrame:
     graph."""
     i = F.col("doc_id")
     h = (F.lit(_H_MUL) * (i % _H_RED) + _H_ADD) % HASH_MOD
-    edges = (
+    bare = (
         docs.select(
             _dom_expr(i).alias("src"),
             _dom_expr(h).alias("dst"),
         )
         .groupBy("src", "dst")
         .agg(F.count("*").cast("long").alias("w"))
-        .localCheckpoint()          # domain-pair-sized; reused 2·iters times
     )
-    outd = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    outd = bare.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # out_w rides along on every edge row so no iteration re-runs the
+    # degree aggregate or its join
+    edges = bare.join(outd, "src").localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -104,6 +106,13 @@ def domain_pagerank(docs: DataFrame, iters: int = ITERS) -> DataFrame:
         .localCheckpoint()          # domain-sized; reused every iteration
     )
     n = nodes.count()
+    if n == 0:
+        # empty corpus → empty ranking (the oracle's per-row divisions
+        # never execute, so it too returns zero rows)
+        return nodes.select(
+            F.col("node").alias("domain"),
+            F.lit(0).cast("long").alias("rank_e12"),
+        )
     base = (15 * SCALE) // (100 * n)
 
     ranks = nodes.select(
@@ -115,7 +124,6 @@ def domain_pagerank(docs: DataFrame, iters: int = ITERS) -> DataFrame:
     for _ in range(iters):
         contrib = (
             edges.join(ranks, edges["src"] == ranks["node"])
-            .join(outd, "src")
             .select("dst", F.expr(contrib_sql).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
@@ -152,7 +160,8 @@ r{t} AS (
   LEFT JOIN outd o ON o.src = e.src
   GROUP BY n.node, cnt.c
 )""")
-    chain = ",".join(its)
+    # each CTE carries its own leading comma so iters=0 stays valid SQL
+    chain = "".join("," + it for it in its)
     return f"""
 WITH u AS (
   SELECT {_dom_sql('doc_id')} AS src,
@@ -165,6 +174,6 @@ outd AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM e GROUP BY src),
 nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
 cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nodes),
 r0 AS (SELECT node, CAST({SCALE} AS BIGINT) // c AS r
-       FROM nodes CROSS JOIN cnt),{chain}
+       FROM nodes CROSS JOIN cnt){chain}
 SELECT node AS domain, r AS rank_e12 FROM r{iters}
 """
