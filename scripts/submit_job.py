@@ -7,7 +7,9 @@ the job together — identical plan to bench.py's flagship.
 
 from __future__ import annotations
 
+import os
 import sys
+import time
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -46,11 +48,25 @@ def main() -> None:
     enrich = PipEnricher(
         edges, {"_in_road": list(ROAD_TYPES), "_in_building": ["pand"]}
     )
-    labelled = pipe.run_fused(enrich(RasterEnricher(raster_df(spark))(pages)))
-    for row in labelled.groupBy("label").agg(F.count("*").alias("n")).orderBy(
-        "label"
-    ).collect():
+    def label_plan(src):
+        labelled = pipe.run_fused(enrich(RasterEnricher(raster_df(spark))(src)))
+        return labelled.groupBy("label").agg(F.count("*").alias("n")).orderBy(
+            "label"
+        )
+
+    # warm-up on a SEPARATE small input (JIT + broadcast build) — the
+    # same plan instance would let the timed run reuse its shuffle
+    # files and skip the map stages entirely
+    label_plan(synthetic_pages(spark, 100_000)).collect()
+    t0 = time.perf_counter()
+    rows = label_plan(pages).collect()
+    t_job = time.perf_counter() - t0
+    for row in rows:
         print(f"label={row['label']} n={row['n']}")
+    print(
+        f"t_job_sec={t_job:.3f} n_pages={n_pages} "
+        f"pages_per_sec={int(n_pages / t_job)} loadavg={os.getloadavg()}"
+    )
     spark.stop()
 
 
