@@ -763,8 +763,13 @@ def main() -> None:
         levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")
         lo, hi = levels[0], levels[-1]
         max_att = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "3"))
-        quiet = float(os.environ.get("SPARK_GRAFT_SCALE_QUIET_LOAD", "3.0"))
-        settle = float(os.environ.get("SPARK_GRAFT_SCALE_SETTLE_SEC", "120"))
+        # 2.0, not 3.0: a same-session bench run leaves 1-min load at
+        # ~2.5–3 well past a 120 s settle, and a capture started there
+        # under-reports by ~0.15 (measured 0.578 at pre-load 2.7 vs
+        # 0.743 at 0.28 on the same day) — better to spend the retries
+        # (best-of still ships if no window ever clears the gate)
+        quiet = float(os.environ.get("SPARK_GRAFT_SCALE_QUIET_LOAD", "2.0"))
+        settle = float(os.environ.get("SPARK_GRAFT_SCALE_SETTLE_SEC", "150"))
         attempts: list[dict] = []
         best = None
         chosen = None
