@@ -35,6 +35,11 @@ LEAK_PRONE = [
     "corpus_clean",
     "region_growing",
     "connected_components",
+    # round-5 late operators that materialize shared intermediates via
+    # localCheckpoint (must stay OUT of the CacheManager)
+    "bloom_decontaminate",
+    "cms_heavy_hitters",
+    "domain_pagerank",
 ]
 
 
