@@ -135,3 +135,50 @@ def test_event_pivot_ignores_out_of_universe_types(spark, tmp_path):
     assert rows[1]["n_click"] == 1
     # the refund's 99.0 must NOT leak into the profiled total
     assert rows[1]["v_sum_e6"] == 1_500_000
+
+
+def test_funnel_strict_order_and_ties(spark, tmp_path):
+    t0 = _ts("2024-01-01T00:00:00")
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            # user 1: full ordered funnel view→click→purchase
+            (1, _ts("2024-01-01T00:00:00"), 1, "view", 0.0, "{}"),
+            (2, _ts("2024-01-01T00:01:00"), 1, "click", 0.0, "{}"),
+            (3, _ts("2024-01-01T00:02:00"), 1, "purchase", 0.0, "{}"),
+            # user 2: purchase BEFORE the click → step 3 not reached
+            (4, _ts("2024-01-01T00:00:00"), 2, "view", 0.0, "{}"),
+            (5, _ts("2024-01-01T00:02:00"), 2, "click", 0.0, "{}"),
+            (6, _ts("2024-01-01T00:01:00"), 2, "purchase", 0.0, "{}"),
+            # user 3: click before any view → funnel stops at step 1
+            (7, _ts("2024-01-01T00:01:00"), 3, "click", 0.0, "{}"),
+            (8, _ts("2024-01-01T00:02:00"), 3, "view", 0.0, "{}"),
+            # user 4: no view at all → not in the funnel
+            (9, _ts("2024-01-01T00:00:00"), 4, "purchase", 0.0, "{}"),
+            # user 5: view/click/purchase ALL at the same timestamp —
+            # ascending event_id resolves the tie, so the chain counts
+            (10, t0, 5, "view", 0.0, "{}"),
+            (11, t0, 5, "click", 0.0, "{}"),
+            (12, t0, 5, "purchase", 0.0, "{}"),
+            # user 6: same-instant tie but purchase's event_id BELOW
+            # the click's → strictly-after fails at step 3
+            (13, t0, 6, "view", 0.0, "{}"),
+            (15, t0, 6, "click", 0.0, "{}"),
+            (14, t0, 6, "purchase", 0.0, "{}"),
+        ],
+    )
+    out = Q.QUERIES["funnel_steps"](spark, sf)
+    _assert_oracle_agrees(out, sf, "funnel_steps")
+    rows = {r["step"]: r["n_users"] for r in out.collect()}
+    # views: users 1,2,3,5,6; clicks after first view: 1,2,5,6;
+    # purchases after that click: 1,5
+    assert rows == {"view": 5, "click": 4, "purchase": 2}
+
+
+def test_funnel_empty_events_is_all_zero(spark, tmp_path):
+    sf = _write_events(spark, tmp_path, [])
+    out = Q.QUERIES["funnel_steps"](spark, sf)
+    _assert_oracle_agrees(out, sf, "funnel_steps")
+    rows = {r["step"]: r["n_users"] for r in out.collect()}
+    assert rows == {"view": 0, "click": 0, "purchase": 0}

@@ -2267,6 +2267,151 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_steps",
+    """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t, event_id AS eid
+  FROM events
+),
+v AS (
+  SELECT user_id, t, eid FROM (
+    SELECT user_id, t, eid,
+           row_number() OVER (PARTITION BY user_id ORDER BY t, eid) AS rn
+    FROM ev WHERE event_type = 'view') q
+  WHERE rn = 1
+),
+c AS (
+  SELECT user_id, t, eid FROM (
+    SELECT e.user_id, e.t, e.eid,
+           row_number() OVER (PARTITION BY e.user_id
+                              ORDER BY e.t, e.eid) AS rn
+    FROM ev e JOIN v USING (user_id)
+    WHERE e.event_type = 'click'
+      AND (e.t > v.t OR (e.t = v.t AND e.eid > v.eid))) q
+  WHERE rn = 1
+),
+p AS (
+  SELECT user_id FROM (
+    SELECT e.user_id,
+           row_number() OVER (PARTITION BY e.user_id
+                              ORDER BY e.t, e.eid) AS rn
+    FROM ev e JOIN c USING (user_id)
+    WHERE e.event_type = 'purchase'
+      AND (e.t > c.t OR (e.t = c.t AND e.eid > c.eid))) q
+  WHERE rn = 1
+)
+SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+       (SELECT COUNT(*) FROM v) AS n_users
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', (SELECT COUNT(*) FROM c)
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', (SELECT COUNT(*) FROM p)
+""",
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase (first-touch
+    semantics: a user's FIRST view anchors the funnel, then their
+    first click strictly after it, then their first purchase strictly
+    after that click — the standard product-analytics funnel; NOT the
+    max-matching any-subsequence variant). Stream order is (epoch µs,
+    event_id) so exact-timestamp ties resolve identically in both
+    engines.
+
+    Spark shape: ONE groupBy(user_id) collects each user's per-step
+    timestamps as sorted struct arrays, then JVM higher-order
+    `filter`/`get` walk the three steps per user — a single shuffle
+    keyed user_id, per-user state bounded by that user's event count
+    (the same hottest-user bound sessionize carries), and the final
+    rollup is a 3-long-column partial aggregate down to one row. No
+    self-joins, no per-row Python, no giant-partition windows — at
+    10^12 events this is a hash aggregate plus a map-side total."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS timestamp))").alias("t_us"),
+        "event_id",
+    )
+
+    def _step_arr(etype: str):
+        # collect_list drops the NULLs the when() emits for other
+        # event types; sort_array orders structs lexicographically,
+        # i.e. by (t, eid) — exactly the oracle's window order
+        return F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("event_type") == etype,
+                    F.struct(
+                        F.col("t_us").alias("t"),
+                        F.col("event_id").alias("eid"),
+                    ),
+                )
+            )
+        )
+
+    per_user = ev.groupBy("user_id").agg(
+        _step_arr("view").alias("views"),
+        _step_arr("click").alias("clicks"),
+        _step_arr("purchase").alias("purchases"),
+    )
+
+    def _first_after(arr, ref):
+        # first element strictly after ref in (t, eid) order; a NULL
+        # ref nulls the predicate, filter drops the row → empty array
+        # → F.get(..., 0) yields NULL (never raises, unlike ANSI
+        # element_at) — exactly the "previous step missing" semantics
+        return F.get(
+            F.filter(
+                arr,
+                lambda s: (s["t"] > ref["t"])
+                | ((s["t"] == ref["t"]) & (s["eid"] > ref["eid"])),
+            ),
+            0,
+        )
+
+    t1 = F.get("views", 0)
+    steps = per_user.select(
+        t1.isNotNull().cast("long").alias("s1"),
+        _first_after(F.col("clicks"), t1).alias("c1"),
+        F.col("purchases"),
+    ).select(
+        "s1",
+        F.col("c1").isNotNull().cast("long").alias("s2"),
+        _first_after(F.col("purchases"), F.col("c1"))
+        .isNotNull()
+        .cast("long")
+        .alias("s3"),
+    )
+    # coalesce: sum over an EMPTY per-user table is NULL in Spark but
+    # the oracle's COUNT(*) is 0 — align the degenerate empty corpus
+    tot = steps.agg(
+        F.coalesce(F.sum("s1"), F.lit(0).cast("long")).alias("n1"),
+        F.coalesce(F.sum("s2"), F.lit(0).cast("long")).alias("n2"),
+        F.coalesce(F.sum("s3"), F.lit(0).cast("long")).alias("n3"),
+    )
+    return tot.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).cast("long").alias("step_idx"),
+                    F.lit("view").alias("step"),
+                    F.col("n1").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit(2).cast("long").alias("step_idx"),
+                    F.lit("click").alias("step"),
+                    F.col("n2").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit(3).cast("long").alias("step_idx"),
+                    F.lit("purchase").alias("step"),
+                    F.col("n3").alias("n_users"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+
+
+@register(
     "hll_distinct",
     hll_distinct_sql("events", "CAST(user_id AS VARCHAR)"),
 )
@@ -5512,6 +5657,7 @@ _DEFER_UNTIL_ROUND = {
     "bloom_decontaminate": 5,
     "cms_heavy_hitters": 5,
     "domain_pagerank": 5,
+    "funnel_steps": 5,
 }
 
 
