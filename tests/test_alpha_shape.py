@@ -210,3 +210,32 @@ def test_degeneracy_guard_symmetry_non_delaunay_cocircles(spark):
     eng2, ora2 = both(quad)
     assert eng2 == ora2
     assert eng2[0][1] == -1, "expected the sentinel row"
+
+
+def test_pinch_vertex_walk_splits_into_simple_loops():
+    """Round-5 verdict falsifying example: the boundary walk passes
+    vertex 2 twice (figure-eight pinch). The walk must split it into
+    two simple loops (reference split_loops, alpha_shape_utils.py:
+    136-157), each keyed and started at its own minimal edge."""
+    from urban_pointcloud_processing_spark.operators.alpha_shape import (
+        alpha_shape_loops,
+    )
+
+    pts = np.array(
+        [(0, 10), (1, 10), (1, 12), (2, 9), (4, 11), (4, 12), (5, 10)],
+        dtype=float,
+    )
+    p, loops = alpha_shape_loops(pts, alpha=0.6)
+    assert len(loops) == 2
+    for key, idx in loops:
+        assert len(idx) >= 3
+        assert len(set(idx)) == len(idx), "loop revisits a vertex"
+        k = len(idx)
+        edges = {tuple(sorted((idx[i], idx[(i + 1) % k]))) for i in range(k)}
+        assert min(edges) == key
+        assert (idx[0], idx[1]) == key  # starts at min edge, lo->hi
+    # the two loops partition the 8 boundary edges and share only the
+    # pinch vertex
+    (k1, l1), (k2, l2) = loops
+    assert set(l1) & set(l2) == {2}
+    assert len(l1) + len(l2) == 8

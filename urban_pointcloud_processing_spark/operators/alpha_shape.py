@@ -240,8 +240,49 @@ def _boundary_loops(pts: np.ndarray, kept: list[tuple[int, int, int]]):
                 break
             verts.append(b)
             a, b = b, c
-        loops.append((e0, verts))
+        for cyc in _split_closed_walk(verts):
+            loops.append((_cycle_key(cyc), _canon_cycle(cyc)))
+    loops.sort(key=lambda kl: kl[0])
     return loops
+
+
+def _split_closed_walk(verts: list[int]) -> list[list[int]]:
+    """Split a closed vertex walk into simple cycles at repeated
+    (pinch) vertices — reference split_loops semantics
+    (alpha_shape_utils.py:136-157). A walk with no repeats is returned
+    unchanged, so non-pinch inputs are untouched."""
+    pos: dict[int, int] = {}
+    for i, v in enumerate(verts):
+        if v in pos:
+            j = pos[v]
+            return (_split_closed_walk(verts[j:i])
+                    + _split_closed_walk(verts[:j] + verts[i:]))
+        pos[v] = i
+    return [verts]
+
+
+def _cycle_key(verts: list[int]) -> tuple[int, int]:
+    k = len(verts)
+    return min(
+        (min(verts[i], verts[(i + 1) % k]), max(verts[i], verts[(i + 1) % k]))
+        for i in range(k)
+    )
+
+
+def _canon_cycle(verts: list[int]) -> list[int]:
+    """Rotate (and if needed reverse) a simple cycle so the walk starts
+    at its minimal undirected edge, traversed lo→hi — the same
+    convention the unsplit walk already follows (it starts at ``e0``,
+    the loop's minimal boundary edge). Identity for loops the splitter
+    did not touch."""
+    k = len(verts)
+    lo, hi = _cycle_key(verts)
+    i = verts.index(lo)
+    if verts[(i + 1) % k] == hi:
+        return verts[i:] + verts[:i]
+    rev = verts[::-1]
+    j = rev.index(lo)
+    return rev[j:] + rev[:j]
 
 
 def _loop_area(idx: list[int], pts: np.ndarray) -> float:
