@@ -23,13 +23,20 @@ def _split_count(df) -> int:
 
 
 def test_shingle_table_tokenizes_once(spark):
+    """Round 6: shingle construction moved into one vectorized Arrow
+    UDF (text crosses the boundary once per doc, explode ships longs).
+    The JVM tokenizer must no longer appear at all, and the plan must
+    contain exactly one Python evaluation node."""
     from urban_pointcloud_processing_spark.operators.dedup import (
         shingle_table,
     )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    n = _split_count(shingle_table(docs, 3))
-    assert n == 1, f"shingle_table plan evaluates split() {n}×, want 1"
+    df = shingle_table(docs, 3)
+    n = _split_count(df)
+    assert n == 0, f"shingle_table plan evaluates split() {n}×, want 0"
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("ArrowEvalPython") == 1, phys
 
 
 def test_span_dedup_tokenizes_once_per_branch(spark):

@@ -143,6 +143,72 @@ def pip_flags_multi(
     return out
 
 
+def pip_hits_arrow(points: DataFrame, polygons: list[dict],
+                   point_id: str = "page_id", x: str = "x", y: str = "y",
+                   keep_cols: tuple[str, ...] = ("layer", "bgt_type"),
+                   types: list[str] | None = None) -> DataFrame:
+    """Map-only twin of ``pip_hits`` for the in-plan polygon layer
+    (a plan-build-time Python list, like pip_flag_pandas_udf uses):
+    one ``mapInArrow`` pass emits the (point, polygon-index) containment
+    pairs directly — the broadcast-nested-loop bbox θ-join and the
+    (point × polygon) crossing-parity aggregation exchange both
+    disappear (guide §2.4); polygon metadata re-attaches via a
+    broadcast of one row per polygon. Per-edge float ops are the exact
+    expressions of ``_crossing`` (bit-identical results; the same
+    NumPy kernel as pip_flag_pandas_udf)."""
+    import numpy as np
+    import pyarrow as pa
+
+    spark = points.sparkSession
+    polys = [p for p in polygons
+             if types is None or p["bgt_type"] in types]
+    prep = _prep_polys(polys, None)
+
+    out_schema = f"{point_id} long, _pidx int"
+
+    def hits(batches):
+        for batch in batches:
+            pid = batch.column(0).to_numpy(zero_copy_only=False)
+            px = batch.column(1).to_numpy(zero_copy_only=False)
+            py = batch.column(2).to_numpy(zero_copy_only=False)
+            ids, pidxs = [], []
+            for pi, (edges, (bx0, by0, bx1, by1)) in enumerate(prep):
+                bbox = (px >= bx0) & (px <= bx1) & (py >= by0) & (py <= by1)
+                idx = np.nonzero(bbox)[0]
+                if idx.size == 0:
+                    continue
+                sx, sy = px[idx], py[idx]
+                parity = np.zeros(idx.size, dtype=bool)
+                for x1, y1, x2, y2 in edges:
+                    straddles = (y1 > sy) != (y2 > sy)
+                    parity ^= straddles & (
+                        sx < (x2 - x1) * (sy - y1) / (y2 - y1) + x1
+                    )
+                hit = idx[parity]
+                if hit.size:
+                    ids.append(pid[hit])
+                    pidxs.append(np.full(hit.size, pi, dtype=np.int32))
+            if ids:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(ids), type=pa.int64()),
+                        pa.array(np.concatenate(pidxs), type=pa.int32()),
+                    ],
+                    names=[point_id, "_pidx"],
+                )
+
+    pairs = points.select(point_id, x, y).mapInArrow(hits, out_schema)
+    meta = spark.createDataFrame(
+        [(i, p["polygon_id"], *[p[c] for c in keep_cols])
+         for i, p in enumerate(polys)],
+        f"_pidx int, polygon_id long, "
+        + ", ".join(f"{c} string" for c in keep_cols),
+    )
+    return pairs.join(F.broadcast(meta), "_pidx").select(
+        point_id, "polygon_id", *keep_cols
+    )
+
+
 def pip_flag_expr(px: Column, py: Column, polygons: list[dict],
                   types: list[str] | None = None) -> Column:
     """MAP-ONLY inside-any-polygon flag: the polygon layer is a small

@@ -21,6 +21,7 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import (
@@ -104,24 +105,71 @@ FROM documents GROUP BY text
 # Shingle table — shared by Jaccard + MinHash
 # ----------------------------------------------------------------------
 
+_JAVA_TRIM = "".join(chr(i) for i in range(0x21))
+
+
+def _java_tokens(s: str | None) -> list[str] | None:
+    """Python mirror of ``tokens_expr`` = F.split(F.trim(text), r"\\s+"):
+    Java trim strips chars ≤ U+0020 from both ends; Java regex \\s is
+    the ASCII class [ \\t\\n\\x0B\\f\\r] (NOT Python's unicode \\s); an
+    empty trimmed string splits to the single empty token."""
+    if s is None:
+        return None
+    t = s.strip(_JAVA_TRIM)
+    if not t:
+        return [""]
+    import re
+
+    return re.split(r"[ \t\n\x0b\f\r]+", t)
+
+
+def shingle_sids_udf(n: int = 3):
+    """text → array of shingle hashes in one Arrow pass: tokenize,
+    build distinct (first-occurrence order) word n-grams and hash them
+    with the batched NumPy char fold — the text crosses the Python
+    boundary ONCE per doc instead of once per shingle row, and the
+    downstream explode ships longs, not gram strings (guide §4.1/4.2).
+    Bit-identical to explode(shingles_from_tokens_expr) + str_hash_udf
+    (pinned by tests/test_parity.py shingle consumers)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    from ..functions.text import str_hash_np
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sids(texts: pd.Series) -> pd.Series:
+        all_grams: list[str] = []
+        counts: list[int] = []
+        for t in texts:
+            toks = _java_tokens(t)
+            if toks is None or len(toks) < n:
+                counts.append(0)
+                continue
+            grams = list(dict.fromkeys(
+                " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+            ))
+            counts.append(len(grams))
+            all_grams.extend(grams)
+        th = str_hash_np(all_grams)
+        out, pos = [], 0
+        for c in counts:
+            out.append(th[pos:pos + c].tolist())
+            pos += c
+        return pd.Series(out)
+
+    return sids
+
+
 def shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, sid) — distinct word-n-gram shingles, hashed.
 
-    The char-fold hash runs on the DISTINCT shingle strings only (web
-    shingles repeat heavily across documents), then joins back — the
-    hash work scales with vocabulary, not corpus size. The token array
-    is bound in its own projection BEFORE the gram lambda — an inline
-    tokenizer would re-run the regex split per gram element, O(n·L²)
-    per document (functions.text.shingles_from_tokens_expr)."""
-    toked = docs.select(
-        "doc_id", tokens_expr(F.col("text")).alias("_t")
-    )
-    pairs = toked.select(
+    One vectorized Arrow pass computes each document's shingle-hash
+    array (``shingle_sids_udf``); the explode then carries longs only.
+    Documents with < n tokens (or NULL text) emit an empty array and
+    disappear in the explode — exactly the rows the previous
+    shingles_from_tokens_expr + per-row-hash plan produced."""
+    return docs.select(
         "doc_id",
-        F.explode(shingles_from_tokens_expr(F.col("_t"), n)).alias("sh"),
-    )
-    return pairs.select(
-        "doc_id", str_hash_udf()(F.col("sh")).alias("sid")
+        F.explode(shingle_sids_udf(n)(F.col("text"))).alias("sid"),
     )
 
 
@@ -355,27 +403,51 @@ WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= {thresh
 # SimHash + pigeonhole-block near-dup join
 # ----------------------------------------------------------------------
 
+def simhash_sig_udf():
+    """text → 60-bit simhash in one Arrow pass. Replaces the previous
+    token-explode → per-token hash UDF → 60-aggregate groupBy plan
+    (guide §2.4: the doc_id regroup shuffle disappears — documents are
+    already one row per doc_id) with map-only batched NumPy: tokens
+    hashed via the flat char fold, per-bit ±1 sums via reduceat.
+    Bit-identical to the old plan (same tokens, same hash, same
+    parity rule; integer sums are order-independent)."""
+    import numpy as np
+    from pyspark.sql.types import LongType
+
+    from ..functions.text import str_hash_np
+
+    @F.pandas_udf(LongType())
+    def sig(texts: pd.Series) -> pd.Series:
+        toks_per_doc = [_java_tokens(t) for t in texts]
+        n = len(toks_per_doc)
+        ntok = np.fromiter(
+            (len(t) for t in toks_per_doc), dtype=np.int64, count=n
+        )
+        flat = [tok for toks in toks_per_doc for tok in toks]
+        th = str_hash_np(flat)
+        out = np.zeros(n, dtype=np.int64)
+        if n == 0:
+            return pd.Series(out)
+        starts = np.concatenate(([0], np.cumsum(ntok)[:-1]))
+        for b in range(SIMHASH_BITS):
+            par = ((th * SH_A[b] + SH_B[b]) % HASH_MOD) & 1
+            cnt1 = np.add.reduceat(par, starts)
+            # Σ(±1) = 2·count(parity=1) − n_tokens, > 0 sets the bit
+            out |= (2 * cnt1 - ntok > 0).astype(np.int64) << b
+        return pd.Series(out)
+
+    return sig
+
+
 def simhash(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash) — 60-bit token-multiplicity simhash."""
-    toks = docs.select(
-        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("tok")
-    ).withColumn("th", str_hash_udf()(F.col("tok")))
-    aggs = [
-        F.sum(
-            F.when(
-                ((F.col("th") * F.lit(SH_A[b]) + F.lit(SH_B[b])) % F.lit(HASH_MOD))
-                % F.lit(2)
-                == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1))
-        ).alias(f"s{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    grouped = toks.groupBy("doc_id").agg(*aggs)
-    sh = F.lit(0).cast("long")
-    for b in range(SIMHASH_BITS):
-        sh = sh + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return grouped.select("doc_id", sh.alias("simhash"))
+    """(doc_id, simhash) — 60-bit token-multiplicity simhash.
+
+    Map-only: one vectorized Arrow pass per batch (simhash_sig_udf).
+    NULL-text docs are dropped, matching the previous explode-based
+    plan (explode of a null token array emitted no rows)."""
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", simhash_sig_udf()(F.col("text")).alias("simhash")
+    )
 
 
 def simhash_sql() -> str:

@@ -107,9 +107,18 @@ def q_tile_histogram_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     pip_hits_sql(PAGES_CTE, polygon_edges_values_sql()),
 )
 def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full (page × polygon) containment pairs over all layers."""
+    """Full (page × polygon) containment pairs over all layers.
+
+    Round 6: the polygon layer is a plan-build-time dimension list, so
+    the containment pairs come from the map-only mapInArrow kernel
+    (pip_hits_arrow) — no bbox θ-join, no pair-aggregation exchange;
+    identical pairs (same per-edge IEEE ops, parity == odd crossing
+    count)."""
+    from .functions.pip import pip_hits_arrow
+    from .sources.layers import polygon_layer
+
     pages = pages_from_orders(spark, sf_dir)
-    return pip_hits(pages, polygon_edges_df(spark))
+    return pip_hits_arrow(pages, polygon_layer())
 
 
 _ROAD_FILTER = "e.bgt_type IN ({})".format(
@@ -124,9 +133,11 @@ _ROAD_FILTER = "e.bgt_type IN ({})".format(
 def q_pip_roads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-filtered PIP join (reference BGTRoadFuser type vocabulary,
     src/upcp/fusion/road_fuser.py:36-38,85-87)."""
+    from .functions.pip import pip_hits_arrow
+    from .sources.layers import polygon_layer
+
     pages = pages_from_orders(spark, sf_dir)
-    edges = polygon_edges_df(spark).filter(F.col("bgt_type").isin(*ROAD_TYPES))
-    return pip_hits(pages, edges)
+    return pip_hits_arrow(pages, polygon_layer(), types=list(ROAD_TYPES))
 
 
 # ----------------------------------------------------------------------
@@ -681,15 +692,25 @@ from .operators import multimodal as M  # noqa: E402
 from .operators import similarity as S  # noqa: E402
 
 
-from .sources.pages import spread_small_scan  # noqa: E402
+from .sources.pages import read_fixture, spread_small_scan  # noqa: E402
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spread_small_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return spread_small_scan(
+        read_fixture(spark, sf_dir, "documents"),
+        f"{sf_dir}/documents.parquet",
+    )
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spread_small_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return spread_small_scan(
+        read_fixture(spark, sf_dir, "embeddings"),
+        f"{sf_dir}/embeddings.parquet",
+    )
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_fixture(spark, sf_dir, "events")
 
 
 _QC_SQL = T.quality_cols_sql("text")
@@ -1965,7 +1986,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag → new-session flag → running sum per user."""
     from pyspark.sql import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _events(spark, sf_dir).select(
         "event_id", "user_id", F.unix_timestamp("ts").alias("t")
     )
     w = Window.partitionBy("user_id").orderBy("t", "event_id")
@@ -2023,7 +2044,7 @@ def q_event_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact integer microseconds."""
     from pyspark.sql import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _events(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "value",
         # parquet ts is TIMESTAMP_NTZ; the cast interprets it in the
         # session timezone (UTC here) — the same convention
@@ -2073,7 +2094,7 @@ def q_event_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the JSON column dominates the scan bytes; the plan reads
     only (event_type, props) — column pruning is what matters, and a
     stored `k` (schema'd at ingest) would drop the parse entirely."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return (
         ev.select("event_type", k.alias("k"))
@@ -2113,7 +2134,7 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     `value` is floored to integer micro-units before SUM so every
     total is order-free (bigint) rather than a float reduction whose
     value depends on partitioning."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _events(spark, sf_dir).select(
         "event_type",
         F.expr("unix_micros(CAST(ts AS timestamp)) DIV 86400000000")
         .alias("day_bkt"),
@@ -2169,7 +2190,7 @@ def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expand. The oracle is the equivalent conditional aggregation
     (pivot is syntactic sugar over it)."""
     ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        _events(spark, sf_dir)
         .filter(F.col("event_type").isin(_PIVOT_TYPES))
         .select(
             "user_id",
@@ -2242,7 +2263,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle each side of the equi-join); negative offsets (same-week
     activity before the signup row resolves to week 0; earlier weeks
     are pre-signup) are excluded identically in both engines."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _events(spark, sf_dir).select(
         "user_id",
         "event_type",
         F.expr("unix_micros(CAST(ts AS timestamp))").alias("t_us"),
@@ -2325,7 +2346,7 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup is a 3-long-column partial aggregate down to one row. No
     self-joins, no per-row Python, no giant-partition windows — at
     10^12 events this is a hash aggregate plus a map-side total."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _events(spark, sf_dir).select(
         "user_id",
         "event_type",
         F.expr("unix_micros(CAST(ts AS timestamp))").alias("t_us"),
@@ -2424,7 +2445,7 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (m, v_zero, s55, est_e3): the integer harmonic sum keeps the
     distributed reduction order-free; only the single final estimate
     expression touches doubles."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return hll_distinct(ev, "CAST(user_id AS STRING)")
 
 
@@ -2539,7 +2560,7 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.sessionize import run_sessionize_available_now
 
     tmp = _stream_scratch(spark, sf_dir, "upcp_sess_q_")
-    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    events = _events(spark, sf_dir).select(
         "event_id", "user_id", "ts"
     )
     inp = f"{tmp}/in"
@@ -4498,9 +4519,10 @@ def _rg_planar_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         (pid * F.lit(G.AZ)) % F.lit(4001) - F.lit(2000),
     ).otherwise(F.lit(0).cast("long"))
     base = spread_small_scan(
-        spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        read_fixture(spark, sf_dir, "orders").select(
             F.col("o_orderkey").alias("page_id")
-        )
+        ),
+        f"{sf_dir}/orders.parquet",
     )
     return base.select(
         "page_id",
@@ -4582,7 +4604,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling-window aggregate per user. sum_value folds over
     a sorted per-group array so the float accumulation order matches
     the oracle's ordered SUM deterministically (SURVEY.md §7.3 item 1)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     grouped = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("window_start")
     ).agg(
@@ -4629,7 +4651,7 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces the epoch-aligned window starts with integer epoch-µs
     arithmetic (slide 300 s, size 600 s); window starts are emitted
     as epoch µs so no calendar/timezone semantics are involved."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     sl = ev.select(
         F.window(F.col("ts"), "10 minutes", "5 minutes").alias("w"),
         "event_type",
@@ -5474,7 +5496,7 @@ def q_stencil_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     sagging-angle frame-spec window re-expressed over events."""
     from pyspark.sql import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lag2, lead2 = F.lag("value", 2).over(w), F.lead("value", 2).over(w)
     return ev.select(

@@ -19,30 +19,97 @@ projection (no shuffle), which is what makes tile assignment of a
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..geocode import geocode
 from ..tiling import with_tiles
 
+# Fixture table schemas (TESTDATA.md; verified identical across
+# sf0.001/0.01/0.1). Declaring them skips the per-query parquet footer
+# schema inference on the driver (~80 ms per read at bench time) —
+# pure plan-construction cost, the scan itself is unchanged. Parquet
+# columns resolve by name, so extra file columns are ignored and the
+# per-query projection still prunes at the scan.
+FIXTURE_SCHEMAS = {
+    "orders": (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    ),
+    "documents": (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    ),
+    "embeddings": "vec_id bigint, embedding array<float>, label int",
+    "events": (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    ),
+}
 
-def spread_small_scan(df: DataFrame) -> DataFrame:
+
+def read_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Schema-pinned scan of a fixture table (no driver footer read)."""
+    return spark.read.schema(FIXTURE_SCHEMAS[name]).parquet(
+        f"{sf_dir}/{name}.parquet"
+    )
+
+
+def _est_scan_partitions(spark: SparkSession, path: str) -> int | None:
+    """Estimate the scan task count from file sizes alone (os.stat —
+    no JVM round trip, no plan construction). Mirrors Spark's split
+    math coarsely: ceil(total_bytes / maxPartitionBytes), at least one
+    task per file."""
+    try:
+        if os.path.isdir(path):
+            files = [
+                os.path.join(root, f)
+                for root, _, fs in os.walk(path)
+                for f in fs
+                if not f.startswith(("_", "."))
+            ]
+        else:
+            files = [path]
+        if not files:
+            return None
+        total = sum(os.path.getsize(f) for f in files)
+        mpb = int(spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
+        ))
+        return max(len(files), -(-total // mpb))
+    except (OSError, ValueError):
+        return None
+
+
+def spread_small_scan(df: DataFrame, path: str | None = None) -> DataFrame:
     """Single-file test parquet arrives as one input split, which would
     serialize every downstream stage on one core. Round-robin the rows
     across the default parallelism BEFORE the compute-heavy projection
     (the shuffle carries only the scanned columns). At production scale
-    the scan has many splits and this is a no-op."""
+    the scan has many splits and this is a no-op.
+
+    ``path`` (when the caller knows it) lets the split-count estimate
+    come from file sizes via os.stat instead of ``df.rdd`` — the RDD
+    conversion costs ~140 ms of driver-side plan work per call, which
+    dominated small-query build time (guide §5: keep the driver idle)."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    if path is not None:
+        est = _est_scan_partitions(df.sparkSession, path)
+        if est is not None:
+            return df.repartition(target) if est < target else df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
 
 
 def pages_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    path = f"{sf_dir}/orders.parquet"
+    df = read_fixture(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("page_id")
     )
-    return with_tiles(geocode(spread_small_scan(df)))
+    return with_tiles(geocode(spread_small_scan(df, path)))
 
 
 def synthetic_pages(spark: SparkSession, n_rows: int,
