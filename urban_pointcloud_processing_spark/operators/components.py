@@ -187,22 +187,24 @@ def grid_components_two_level(
     deeper hierarchy would repeat step 2 on the root graph if needed.
     """
     pts = _with_cells(points, grid_size)
-    cells = pts.select("_cx", "_cy", "_cell").distinct()
     tc = int(tile_cells)
-    blocked = cells.withColumns(
-        {
-            "_bx": F.floor(F.col("_cx") / F.lit(tc)).cast("long"),
-            "_by": F.floor(F.col("_cy") / F.lit(tc)).cast("long"),
-        }
-    )
+    # ONE exchange: group point-level cell keys straight by block with
+    # collect_set — the partial (map-side) set union dedups before the
+    # shuffle, so the wire carries distinct cells exactly like the old
+    # distinct() pass, without the second exchange the (cx,cy)→(bx,by)
+    # regroup used to cost (guide §2.4). Block cell counts are bounded
+    # (≤ tc², 4096 at the default), so the per-block set is small.
+    blocked = pts.select(
+        F.floor(F.col("_cx") / F.lit(tc)).cast("long").alias("_bx"),
+        F.floor(F.col("_cy") / F.lit(tc)).cast("long").alias("_by"),
+        "_cell",
+    ).groupBy("_bx", "_by").agg(F.collect_set("_cell").alias("_cells"))
 
     roots_schema = "cell long, root long, bx long, by long, border boolean"
 
     def local_cc(pdf: pd.DataFrame) -> pd.DataFrame:
-        parent = {
-            int(cx) * PAIR + int(cy): int(cx) * PAIR + int(cy)
-            for cx, cy in zip(pdf["_cx"], pdf["_cy"])
-        }
+        cells = [int(c) for c in pdf["_cells"].iloc[0]]
+        parent = {k: k for k in cells}
 
         def find(a: int) -> int:
             while parent[a] != a:
@@ -211,7 +213,7 @@ def grid_components_two_level(
             return a
 
         occupied = set(parent)
-        for k in list(parent):
+        for k in cells:
             cx, cy = k // PAIR, k % PAIR
             for dx in (-1, 0, 1):
                 for dy in (-1, 0, 1):
@@ -222,17 +224,25 @@ def grid_components_two_level(
                             parent[max(ra, rb)] = min(ra, rb)
         bx, by = int(pdf["_bx"].iloc[0]), int(pdf["_by"].iloc[0])
         rows = []
-        for cx, cy in zip(pdf["_cx"], pdf["_cy"]):
-            k = int(cx) * PAIR + int(cy)
+        for k in cells:
+            cx, cy = k // PAIR, k % PAIR
             on_border = (
                 cx % tc in (0, tc - 1) or cy % tc in (0, tc - 1)
             )
             rows.append((k, find(k), bx, by, bool(on_border)))
         return pd.DataFrame(rows, columns=["cell", "root", "bx", "by", "border"])
 
+    # grouped-map over the pre-aggregated one-row-per-block frame: the
+    # agg output is already hash-clustered by (_bx,_by), so the
+    # grouped-map adds NO exchange. localCheckpoint keeps the
+    # cell-level roots (domain-sized: one row per occupied cell, the
+    # same class as the PageRank frontiers) for BOTH the border-merge
+    # collect below and the final attach join — previously the
+    # transient persist was dropped before execution and the whole
+    # block pass recomputed in the output job.
     local = blocked.groupBy("_bx", "_by").applyInPandas(
         local_cc, schema=roots_schema
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     # cross-block merge edges: border cell ↔ neighboring border cell in
     # a DIFFERENT block → (root_a, root_b)
@@ -280,7 +290,6 @@ def grid_components_two_level(
     else:
         resolved = local.select("cell", F.col("root").alias(out_col))
     out = pts.join(resolved.withColumnRenamed("cell", "_cell"), "_cell")
-    local.unpersist()
     return out.drop("_cell", "_cx", "_cy")
 
 

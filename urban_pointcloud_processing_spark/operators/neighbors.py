@@ -185,19 +185,38 @@ def knn_label_fusion(
         probe, labeled, max_dist, probe_id, build_id, (label_col,),
         salt_target=salt_target,
     )
-    w = Window.partitionBy(probe_id).orderBy("dist_sq", build_id)
-    topk = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
-    votes = topk.groupBy(probe_id, label_col).agg(
-        F.count("*").alias("n_votes"),
-        F.min("dist_sq").alias("_best"),
+    # Round 6: ONE probe-keyed aggregation replaces the chain
+    # row_number window → (probe,label) regroup → second window — three
+    # exchanges down to one (guide §2.4). The sorted slice reproduces
+    # the rn<=k neighbor set exactly ((dist_sq, build_id) ordering);
+    # the majority vote with ties to the SMALLER label is computed over
+    # the ≤k-element array in the projection: array_max over
+    # (n_votes, -label) pairs == (n_votes DESC, label ASC) row_number=1.
+    topk = cand.groupBy(probe_id).agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct("dist_sq", build_id, label_col))
+            ),
+            1, k,
+        ).alias("_nb"),
     )
-    wv = Window.partitionBy(probe_id).orderBy(
-        F.desc("n_votes"), F.col(label_col)
+    labels = F.transform("_nb", lambda s: s[label_col])
+    scored = topk.select(
+        probe_id,
+        F.array_max(
+            F.transform(
+                F.array_distinct(labels),
+                lambda v: F.struct(
+                    F.size(F.filter(labels, lambda x: x == v)).alias("n"),
+                    (-v).alias("neg_label"),
+                ),
+            )
+        ).alias("_win"),
     )
-    return (
-        votes.withColumn("_r", F.row_number().over(wv))
-        .filter(F.col("_r") == 1)
-        .select(probe_id, F.col(label_col).alias("fused_label"), "n_votes")
+    return scored.select(
+        probe_id,
+        (-F.col("_win.neg_label")).alias("fused_label"),
+        F.col("_win.n").cast("long").alias("n_votes"),
     )
 
 
@@ -210,14 +229,26 @@ def nearest_match(
     build_cols: tuple[str, ...] = ("bgt_type",),
 ) -> DataFrame:
     """Nearest build object within max_dist per probe row; deterministic
-    (dist_sq, obj_id) tie-break. Reference street_furniture_fuser.py:80-85."""
+    (dist_sq, obj_id) tie-break. Reference street_furniture_fuser.py:80-85.
+
+    Round 6: the per-probe argmin is one struct-min aggregation instead
+    of a row_number window — the min combines map-side, so the exchange
+    carries one row per (map partition, probe) instead of every
+    candidate pair, and the whole-partition window sort disappears
+    (guide §2.3 "aggregate before you shuffle"). The struct leads with
+    (dist_sq, build_id), so the selected row and its payload columns
+    are identical to the old rn=1 pick (build_id is unique)."""
     cand = knn_candidates(probe, build, max_dist, probe_id, build_id, build_cols)
-    w = Window.partitionBy(probe_id).orderBy("dist_sq", build_id)
-    return (
-        cand.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    payload = [c for c in cand.columns if c not in (probe_id,)]
+    ordered = ["dist_sq", build_id] + [
+        c for c in payload if c not in ("dist_sq", build_id)
+    ]
+    best = cand.groupBy(probe_id).agg(
+        F.min(F.struct(*ordered)).alias("_b")
     )
+    return best.select(
+        probe_id, *[F.col(f"_b.{c}").alias(c) for c in payload]
+    ).select(probe_id, *payload)
 
 
 def knn_idw(
@@ -241,8 +272,6 @@ def knn_idw(
     cand = knn_candidates(
         probe, build, max_dist, probe_id, build_id, (value_col,)
     )
-    w = Window.partitionBy(probe_id).orderBy("dist_sq", build_id)
-    topk = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
     # d^p with integer p as exact multiplication chain (no pow/libm)
     d2 = F.col("dist_sq")
     if power == 2:
@@ -251,16 +280,24 @@ def knn_idw(
         dp = F.sqrt(d2)
     else:
         dp = F.pow(F.sqrt(d2), F.lit(float(power)))
-    pairs = topk.withColumn("_w", F.lit(1.0) / (dp + F.lit(reg)))
+    pairs = cand.withColumn("_w", F.lit(1.0) / (dp + F.lit(reg)))
+    # Round 6: ONE aggregation replaces the row_number window + regroup:
+    # sort_array over the collected candidates then slice(1, k) selects
+    # exactly the rows rn<=k used to keep — the struct leads with
+    # (dist_sq, build_id), the same ordering key, and the fold below
+    # consumes the identical sorted prefix, so the float accumulation
+    # order is unchanged (bit-exact). n_neighbors = the slice length.
     grouped = pairs.groupBy(probe_id).agg(
-        F.sort_array(
-            F.collect_list(F.struct("dist_sq", build_id, "_w", value_col))
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct("dist_sq", build_id, "_w", value_col))
+            ),
+            1, k,
         ).alias("_nb"),
-        F.count("*").alias("n_neighbors"),
     )
     return grouped.select(
         probe_id,
-        "n_neighbors",
+        F.size("_nb").cast("long").alias("n_neighbors"),
         (
             F.aggregate("_nb", F.lit(0.0), lambda a, s: a + s["_w"] * s[value_col])
             / F.aggregate("_nb", F.lit(0.0), lambda a, s: a + s["_w"])
@@ -280,10 +317,20 @@ def knn_max(
     """'max' variant (reference interpolation.py:302-303): max of the k
     nearest neighbour values — used to build the building surface."""
     cand = knn_candidates(probe, build, max_dist, probe_id, build_id, (value_col,))
-    w = Window.partitionBy(probe_id).orderBy("dist_sq", build_id)
-    topk = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
-    return topk.groupBy(probe_id).agg(
-        F.max(value_col).alias("max_val"), F.count("*").alias("n_neighbors")
+    # same one-aggregation top-k as knn_idw; max over the sorted slice
+    # is order-independent, so results are unchanged
+    grouped = cand.groupBy(probe_id).agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct("dist_sq", build_id, value_col))
+            ),
+            1, k,
+        ).alias("_nb"),
+    )
+    return grouped.select(
+        probe_id,
+        F.array_max(F.transform("_nb", lambda s: s[value_col])).alias("max_val"),
+        F.size("_nb").cast("long").alias("n_neighbors"),
     )
 
 

@@ -3676,17 +3676,21 @@ def q_raster_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells, point_layer_df(spark), max_dist=40.0,
         probe_id="cell_id", build_cols=("z",),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("cell_id").orderBy("dist_sq", "obj_id")
-    topk = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 8)
-    pairs = topk.withColumn("_w", F.lit(1.0) / (F.col("dist_sq") + F.lit(1e-9)))
+    # Round 6 (guide §2.4): ONE cell-keyed aggregation — the sorted
+    # slice reproduces the old rn<=8 window pick exactly and the fold
+    # consumes the identical sorted prefix (bit-exact); the join back
+    # to `cells` (a second pages scan + distinct + equi-join) is
+    # replaced by decoding (cell_x, cell_y) from the pairing key
+    # cell_id = cell_x * 100000 + cell_y (coords are non-negative and
+    # cell_y < 100000 in the RD window, so div/mod decode is exact).
+    pairs = cand.withColumn("_w", F.lit(1.0) / (F.col("dist_sq") + F.lit(1e-9)))
     grouped = pairs.groupBy("cell_id").agg(
-        F.sort_array(
-            F.collect_list(F.struct("dist_sq", "obj_id", "_w", "z"))
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct("dist_sq", "obj_id", "_w", "z"))
+            ),
+            1, 8,
         ).alias("_nb"),
-        F.max("z").alias("building_z"),
-        F.count("*").alias("n_neighbors"),
     )
     idw = (
         F.aggregate("_nb", F.lit(0.0), lambda a, s: a + s["_w"] * s["z"])
@@ -3695,10 +3699,12 @@ def q_raster_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no 2-dp rounding here: engines disagree on half-way rounding and
     # the reference's f16 quantization is a storage detail — the
     # ordered fold already makes the double bit-identical to the oracle
-    return grouped.join(cells.select("cell_id", "cell_x", "cell_y"), "cell_id").select(
-        "cell_x", "cell_y",
+    return grouped.select(
+        F.expr("cell_id div 100000").alias("cell_x"),
+        F.pmod(F.col("cell_id"), F.lit(100000)).cast("long").alias("cell_y"),
         idw.alias("ground_z"),
-        "building_z", "n_neighbors",
+        F.array_max(F.transform("_nb", lambda s: s["z"])).alias("building_z"),
+        F.size("_nb").cast("long").alias("n_neighbors"),
     )
 
 

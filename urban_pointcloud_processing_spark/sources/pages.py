@@ -57,11 +57,8 @@ def read_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
 
 
-def _est_scan_partitions(spark: SparkSession, path: str) -> int | None:
-    """Estimate the scan task count from file sizes alone (os.stat —
-    no JVM round trip, no plan construction). Mirrors Spark's split
-    math coarsely: ceil(total_bytes / maxPartitionBytes), at least one
-    task per file."""
+def _input_bytes(path: str) -> int | None:
+    """Total data-file bytes under ``path`` via os.stat (no JVM)."""
     try:
         if os.path.isdir(path):
             files = [
@@ -74,13 +71,44 @@ def _est_scan_partitions(spark: SparkSession, path: str) -> int | None:
             files = [path]
         if not files:
             return None
-        total = sum(os.path.getsize(f) for f in files)
+        return sum(os.path.getsize(f) for f in files)
+    except OSError:
+        return None
+
+
+def _est_scan_partitions(spark: SparkSession, path: str) -> int | None:
+    """Estimate the scan task count from file sizes alone (os.stat —
+    no JVM round trip, no plan construction). Mirrors Spark's split
+    math coarsely: ceil(total_bytes / maxPartitionBytes), at least one
+    task per file."""
+    total = _input_bytes(path)
+    if total is None:
+        return None
+    try:
+        nfiles = 1 if not os.path.isdir(path) else max(1, len([
+            f for root, _, fs in os.walk(path) for f in fs
+            if not f.startswith(("_", "."))
+        ]))
         mpb = int(spark.conf.get(
             "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
         ))
-        return max(len(files), -(-total // mpb))
+        return max(nfiles, -(-total // mpb))
     except (OSError, ValueError):
         return None
+
+
+# Inputs below this size stay on their single scan split: the whole
+# scan-side compute is sub-second there, and the round-robin exchange
+# costs more wall-clock than the parallelism buys (measured at sf0.1:
+# pages noop 0.21 s unspread vs 0.30 s spread; even the PIP Arrow
+# kernel is 0.61 s vs 0.72 s). Above the threshold a few-split input
+# still spreads to all cores, so the compute-bound case (driver SFs
+# with 10×+ rows, the regime the spread exists for) keeps its
+# parallelism. Env-overridable for experiments; a production deployment
+# reads many-split tables and never reaches the repartition.
+SPREAD_MIN_BYTES = int(os.environ.get(
+    "SPARK_GRAFT_SPREAD_MIN_BYTES", str(8 * 1024 * 1024)
+))
 
 
 def spread_small_scan(df: DataFrame, path: str | None = None) -> DataFrame:
@@ -93,11 +121,16 @@ def spread_small_scan(df: DataFrame, path: str | None = None) -> DataFrame:
     ``path`` (when the caller knows it) lets the split-count estimate
     come from file sizes via os.stat instead of ``df.rdd`` — the RDD
     conversion costs ~140 ms of driver-side plan work per call, which
-    dominated small-query build time (guide §5: keep the driver idle)."""
+    dominated small-query build time (guide §5: keep the driver idle) —
+    and arms the SPREAD_MIN_BYTES lower bound: tiny inputs are cheaper
+    to process on their one split than to re-shuffle."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if path is not None:
         est = _est_scan_partitions(df.sparkSession, path)
         if est is not None:
+            total = _input_bytes(path)
+            if total is not None and total < SPREAD_MIN_BYTES:
+                return df
             return df.repartition(target) if est < target else df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
