@@ -86,7 +86,11 @@ def test_uncommitted_stage_not_resumed(spark):
     tmp = tempfile.mkdtemp(prefix="upcp_ckpt_uncommitted_")
     try:
         pages = RasterEnricher(raster_df(spark))(
-            pages_from_orders(spark, "/root/testdata/sf0.001")
+            # repartition: the mid-commit-kill simulation below must
+            # delete ONE OF SEVERAL part files, but the tiny sf0.001
+            # scan stays on a single split since the round-6 spread
+            # floor (sources/pages.spread_small_scan)
+            pages_from_orders(spark, "/root/testdata/sf0.001").repartition(4)
         )
         p1 = Pipeline(_procs(), checkpoint_dir=tmp, run_id="r1")
         out1 = p1.run(pages).select("page_id", "label").collect()

@@ -149,11 +149,12 @@ def shingle_sids_udf(n: int = 3):
             ))
             counts.append(len(grams))
             all_grams.extend(grams)
+        import numpy as np
+
         th = str_hash_np(all_grams)
-        out, pos = [], 0
-        for c in counts:
-            out.append(th[pos:pos + c].tolist())
-            pos += c
+        # split into per-doc views (no per-element Python boxing —
+        # Arrow consumes the numpy slices directly)
+        out = np.split(th, np.cumsum(np.asarray(counts, dtype=np.int64))[:-1])
         return pd.Series(out)
 
     return sids

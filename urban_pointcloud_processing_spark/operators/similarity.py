@@ -343,71 +343,100 @@ WHERE round({dot} / (va.nrm * vb.nrm), 9) >= {threshold}
 # ----------------------------------------------------------------------
 
 
-def ivf_topk(
-    emb: DataFrame,
-    k: int = 10,
-    query_mod: int = 50,
-    centroid_mod: int = 20,
-    nprobe: int = 3,
-) -> DataFrame:
-    """IVF ANN top-k: corpus vectors assign to their nearest coarse
-    centroid (deterministic (cosine desc, centroid_id) argmax); each
-    query searches the union of its nprobe nearest centroids' lists
-    with exact cosines. Assignment and probing reuse the exact
-    ordered-fold dot product, so results match the oracle
-    bit-for-bit."""
-    base = _with_norm(emb).localCheckpoint(eager=True)
-    cents = base.filter(F.col("vec_id") % centroid_mod == 0).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("_norm").alias("c_norm"),
+def _collect_matrix(emb: DataFrame, mod: int):
+    """Collect the bounded modulo-sampled rows (centroid seeds / query
+    set) as (ids ascending, float64 matrix). The only driver transfer
+    in the IVF family — O(n/mod) rows, the same bounded-collect class
+    as cosine_topk's query matrix."""
+    import numpy as np
+
+    rows = sorted(
+        emb.filter(F.col("vec_id") % mod == 0)
+        .select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
     )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    M = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in rows])
+    return ids, M
+
+
+def _norms_np(M):
+    import numpy as np
+
+    return np.sqrt(_seq_dot_matrix(M, M).diagonal())
+
+
+def _assign_map(emb: DataFrame, cent_ids, C) -> DataFrame:
+    """Map-only nearest-centroid assignment: the bounded centroid
+    matrix lives in the mapInPandas closure, so the per-vector argmax
+    runs as one NumPy matrix pass — no crossJoin that ships every
+    (vector, centroid) pair through Arrow, no per-vector row_number
+    window (guide §4.2/§2.4). Per-pair cosine, norm fold and the
+    (cosine desc, cent_id asc) tie-break are identical to the old
+    plan: _seq_dot_matrix accumulates in dimension order (== dot_udf),
+    _py_round9 == F.round(· , 9), and np.argmax returns the FIRST
+    maximum over the cent_id-ascending columns."""
+    import numpy as np
+    import pandas as pd
+
+    cn = _norms_np(C)
+    emb_t = dict(emb.dtypes)["embedding"]
+    schema = f"vec_id long, embedding {emb_t}, _norm double, cent_id long"
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            vn = _norms_np(V)
+            cos = _py_round9(
+                _seq_dot_matrix(V, C) / (vn[:, None] * cn[None, :])
+            )
+            # NaN cosines (zero-norm vectors) sort FIRST under Spark's
+            # descending order; np.argmax likewise returns the first
+            # NaN — tie behavior matches the old window exactly
+            best = np.argmax(cos, axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "embedding": pdf["embedding"],
+                "_norm": vn,
+                "cent_id": cent_ids[best],
+            })
+
+    return emb.select("vec_id", "embedding").mapInPandas(gen, schema)
+
+
+def _probe_rows(spark, qids, Q, cent_ids, C, nprobe: int):
+    """Driver-side probe selection: per query the nprobe nearest
+    centroids by (round9-cosine desc, cent_id asc) — the same doubles
+    and tie-break the old crossJoin + window computed. Returns the
+    broadcastable probes DataFrame (query_id, q_emb, q_norm, cent_id)."""
+    import numpy as np
+
+    qn = _norms_np(Q)
+    cn = _norms_np(C)
+    cos = _py_round9(_seq_dot_matrix(Q, C) / (qn[:, None] * cn[None, :]))
+    rows = []
+    for qi in range(len(qids)):
+        order = np.lexsort((cent_ids, -cos[qi]))[:nprobe]
+        for ci in order:
+            rows.append((
+                int(qids[qi]), [float(v) for v in Q[qi]], float(qn[qi]),
+                int(cent_ids[ci]),
+            ))
+    return spark.createDataFrame(
+        rows, "query_id long, q_emb array<double>, q_norm double, "
+              "cent_id long",
+    )
+
+
+def _ivf_score(assigned: DataFrame, probes: DataFrame, k: int) -> DataFrame:
     d = dot_udf()
-    pair_cos = F.round(
-        d(F.col("embedding"), F.col("c_emb"))
-        / (F.col("_norm") * F.col("c_norm")),
-        9,
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("_ccos"), F.col("cent_id")
-    )
-    assigned = (
-        base.crossJoin(F.broadcast(cents))
-        .withColumn("_ccos", pair_cos)
-        .withColumn("_rn", F.row_number().over(w_assign))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "embedding", "_norm", "cent_id")
-        .localCheckpoint(eager=True)
-    )
-    probes = (
-        base.filter(F.col("vec_id") % query_mod == 0)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("_norm").alias("q_norm"),
-        )
-        .crossJoin(F.broadcast(cents))
-        .withColumn(
-            "_ccos",
-            F.round(
-                d(F.col("q_emb"), F.col("c_emb"))
-                / (F.col("q_norm") * F.col("c_norm")),
-                9,
-            ),
-        )
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.desc("_ccos"), F.col("cent_id")
-                )
-            ),
-        )
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "q_emb", "q_norm", "cent_id")
-    )
     cand = (
-        probes.join(assigned, "cent_id")
+        F.broadcast(probes).join(assigned, "cent_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn(
             "cosine",
@@ -424,6 +453,40 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 10,
+    query_mod: int = 50,
+    centroid_mod: int = 20,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF ANN top-k: corpus vectors assign to their nearest coarse
+    centroid (deterministic (cosine desc, centroid_id) argmax); each
+    query searches the union of its nprobe nearest centroids' lists
+    with exact cosines. Round 6: the bounded centroid/query matrices
+    collect ONCE to the driver; assignment is a map-only NumPy kernel
+    and probe selection runs on the driver — one collect job replaces
+    two eager checkpoints, two crossJoins and two windows, with
+    bit-identical arithmetic throughout (see _assign_map)."""
+    import numpy as np
+
+    rows = sorted(
+        emb.filter(
+            (F.col("vec_id") % centroid_mod == 0)
+            | (F.col("vec_id") % query_mod == 0)
+        ).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    M = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    cmask, qmask = ids % centroid_mod == 0, ids % query_mod == 0
+    cent_ids, C = ids[cmask], M[cmask]
+    qids, Q = ids[qmask], M[qmask]
+    assigned = _assign_map(emb, cent_ids, C)
+    probes = _probe_rows(emb.sparkSession, qids, Q, cent_ids, C, nprobe)
+    return _ivf_score(assigned, probes, k)
 
 
 def ivf_topk_sql(
@@ -561,68 +624,100 @@ def ivf_kmeans_topk(
     structure). The FULL corpus is still assigned to the trained
     centroids afterwards, so the inverted lists cover every vector.
     The oracle mirrors the same sample predicate. Default 1 = train on
-    everything (previous behavior)."""
-    base = _with_norm(emb).localCheckpoint(eager=True)
+    everything (previous behavior).
+
+    Round 6 shape: each Lloyd iteration is ONE job — a map-only kernel
+    assigns the train sample against the in-closure centroid matrix
+    and emits per-task (cent_id, n, Σ µ-quantized components) partials
+    (≤ n_cents rows per task); the bounded partials merge on the
+    driver with exact integer sums. Replaces per-iteration
+    crossJoin + window + double posexplode aggregation + eager
+    checkpoint. Arithmetic is bit-identical: same µ-quantization
+    (half-away round), same Σ/n/Q double division, same dimension-order
+    norm fold, same (cosine desc, cent_id) assignment tie-break."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = sorted(
+        emb.filter(
+            (F.col("vec_id") % centroid_mod == 0)
+            | (F.col("vec_id") % query_mod == 0)
+        ).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    M = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in qrows])
+    cent_ids, C = ids[ids % centroid_mod == 0], M[ids % centroid_mod == 0]
+    qids, Q = ids[ids % query_mod == 0], M[ids % query_mod == 0]
+
     train = (
-        base if train_mod <= 1
-        else base.filter(F.col("vec_id") % train_mod == 0)
+        emb if train_mod <= 1
+        else emb.filter(F.col("vec_id") % train_mod == 0)
     )
-    cents = base.filter(F.col("vec_id") % centroid_mod == 0).select(
-        F.col("vec_id").alias("cent_id"),
-        F.transform(F.col("embedding"), lambda x: x.cast("double"))
-        .alias("c_emb"),
-        F.col("_norm").alias("c_norm"),
-    )
+
+    def _half_away(x):
+        return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
     for _ in range(iters):
-        assigned = _assign_to_cents(train, cents)
-        cents = _kmeans_update(assigned).localCheckpoint(eager=True)
-    assigned = _assign_to_cents(base, cents).localCheckpoint(eager=True)
-    d = dot_udf()
-    probes = (
-        base.filter(F.col("vec_id") % query_mod == 0)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("_norm").alias("q_norm"),
-        )
-        .crossJoin(F.broadcast(cents))
-        .withColumn(
-            "_ccos",
-            F.round(
-                d(F.col("q_emb"), F.col("c_emb"))
-                / (F.col("q_norm") * F.col("c_norm")),
-                9,
-            ),
-        )
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.desc("_ccos"), F.col("cent_id")
+        cn = _norms_np(C)
+        c_ids_iter, C_iter = cent_ids, C
+
+        def partials(batches, c_ids=c_ids_iter, Cm=C_iter, cnv=cn):
+            acc_n: dict[int, int] = {}
+            acc_s: dict[int, object] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack([
+                    np.asarray(v, dtype=np.float64)
+                    for v in pdf["embedding"]
+                ])
+                vn = _norms_np(V)
+                cos = _py_round9(
+                    _seq_dot_matrix(V, Cm) / (vn[:, None] * cnv[None, :])
                 )
-            ),
-        )
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "q_emb", "q_norm", "cent_id")
-    )
-    cand = (
-        probes.join(assigned, "cent_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                d(F.col("q_emb"), F.col("embedding"))
-                / (F.col("q_norm") * F.col("_norm")),
-                9,
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
-    )
+                best = np.argmax(cos, axis=1)
+                mq = _half_away(V * _KM_Q)
+                for ci in np.unique(best):
+                    key = int(c_ids[ci])
+                    sel = mq[best == ci]
+                    acc_n[key] = acc_n.get(key, 0) + sel.shape[0]
+                    s = sel.sum(axis=0)
+                    acc_s[key] = s if key not in acc_s else acc_s[key] + s
+            if acc_n:
+                yield pd.DataFrame({
+                    "cent_id": list(acc_n),
+                    "n": [acc_n[k2] for k2 in acc_n],
+                    "s": [acc_s[k2].tolist() for k2 in acc_n],
+                })
+
+        pr = train.select("vec_id", "embedding").mapInPandas(
+            partials, "cent_id long, n long, s array<long>"
+        ).collect()
+        agg_n: dict[int, int] = {}
+        agg_s: dict[int, list] = {}
+        for r in pr:
+            agg_n[r["cent_id"]] = agg_n.get(r["cent_id"], 0) + r["n"]
+            if r["cent_id"] in agg_s:
+                agg_s[r["cent_id"]] = [
+                    a + b for a, b in zip(agg_s[r["cent_id"]], r["s"])
+                ]
+            else:
+                agg_s[r["cent_id"]] = list(r["s"])
+        new_ids = sorted(agg_n)  # empty clusters drop (inner-join parity)
+        cent_ids = np.array(new_ids, dtype=np.int64)
+        C = np.array([
+            [
+                (float(s) / float(agg_n[cid])) / _KM_Q
+                for s in agg_s[cid]
+            ]
+            for cid in new_ids
+        ], dtype=np.float64)
+
+    assigned = _assign_map(emb, cent_ids, C)
+    probes = _probe_rows(emb.sparkSession, qids, Q, cent_ids, C, nprobe)
+    return _ivf_score(assigned, probes, k)
 
 
 def ivf_kmeans_topk_sql(

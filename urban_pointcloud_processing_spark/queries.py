@@ -696,16 +696,25 @@ from .sources.pages import read_fixture, spread_small_scan  # noqa: E402
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # min_bytes=0: documents are small in BYTES but heavy in per-row
+    # compute (tokenize/gram/regex chains) — leaving them on one split
+    # serialized span_dedup/quality_filter/repetition_ngrams (measured
+    # 2× at sf0.1), unlike the arithmetic-light pages scans where the
+    # size floor wins
     return spread_small_scan(
         read_fixture(spark, sf_dir, "documents"),
         f"{sf_dir}/documents.parquet",
+        min_bytes=0,
     )
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # min_bytes=0: per-row 64-dim float math (IVF/ANN signatures,
+    # k-means training) wants all cores even at fixture byte sizes
     return spread_small_scan(
         read_fixture(spark, sf_dir, "embeddings"),
         f"{sf_dir}/embeddings.parquet",
+        min_bytes=0,
     )
 
 
@@ -1055,7 +1064,9 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).write.mode(
         "overwrite"
     ).parquet(f"{tmp}/tf")
-    tf = spark.read.parquet(f"{tmp}/tf")
+    tf = spark.read.schema("doc_id bigint, tok string, tf bigint").parquet(
+        f"{tmp}/tf"
+    )
     # vocabulary-sized; localCheckpoint so the hot/cold split doesn't
     # recompute the corpus aggregate three times (house style for
     # small reused tables — operators/dedup.py)
@@ -1440,10 +1451,20 @@ def _shingle_stage(spark: SparkSession, sf_dir: str, n: int,
     per-query so one query's rewrite can never clobber a table
     another live plan still reads."""
     tmp = _stream_scratch(spark, sf_dir, prefix)
-    D.shingle_table(_docs(spark, sf_dir), n).write.mode(
-        "overwrite"
-    ).parquet(f"{tmp}/sh")
-    return spark.read.parquet(f"{tmp}/sh")
+    # the shingle UDF is the stage's compute — spread it across cores
+    # even below the generic size floor (quarter-width keeps per-task
+    # Arrow batches large; measured 0.67 s → 0.46 s at sf0.1). A
+    # many-split production scan is left alone (repartition-up only).
+    cores = spark.sparkContext.defaultParallelism
+    src = spread_small_scan(
+        read_fixture(spark, sf_dir, "documents"),
+        f"{sf_dir}/documents.parquet",
+        target=max(1, cores // 4), min_bytes=0,
+    )
+    D.shingle_table(src, n).write.mode("overwrite").parquet(f"{tmp}/sh")
+    # schema known (we just wrote it): skip the read-back footer
+    # inference on the driver (~90 ms of plan-build time)
+    return spark.read.schema("doc_id bigint, sid bigint").parquet(f"{tmp}/sh")
 
 
 @register("span_dedup", D.span_dedup_sql(8))

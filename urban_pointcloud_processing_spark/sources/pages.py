@@ -111,7 +111,9 @@ SPREAD_MIN_BYTES = int(os.environ.get(
 ))
 
 
-def spread_small_scan(df: DataFrame, path: str | None = None) -> DataFrame:
+def spread_small_scan(df: DataFrame, path: str | None = None,
+                      target: int | None = None,
+                      min_bytes: int | None = None) -> DataFrame:
     """Single-file test parquet arrives as one input split, which would
     serialize every downstream stage on one core. Round-robin the rows
     across the default parallelism BEFORE the compute-heavy projection
@@ -123,13 +125,20 @@ def spread_small_scan(df: DataFrame, path: str | None = None) -> DataFrame:
     conversion costs ~140 ms of driver-side plan work per call, which
     dominated small-query build time (guide §5: keep the driver idle) —
     and arms the SPREAD_MIN_BYTES lower bound: tiny inputs are cheaper
-    to process on their one split than to re-shuffle."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    to process on their one split than to re-shuffle.
+
+    ``target``/``min_bytes`` let a caller that feeds a known
+    compute-heavy stage (e.g. the shingle UDF) ask for a different
+    spread width or defeat the size floor — still only ever
+    repartitioning UP (a many-split production scan is left alone)."""
+    if target is None:
+        target = df.sparkSession.sparkContext.defaultParallelism
+    floor = SPREAD_MIN_BYTES if min_bytes is None else min_bytes
     if path is not None:
         est = _est_scan_partitions(df.sparkSession, path)
         if est is not None:
             total = _input_bytes(path)
-            if total is not None and total < SPREAD_MIN_BYTES:
+            if total is not None and total < floor:
                 return df
             return df.repartition(target) if est < target else df
     if df.rdd.getNumPartitions() < target:
