@@ -233,6 +233,52 @@ WHERE round({dot} / (a.nrm * b.nrm), 9) >= {threshold}
 """
 
 
+def _with_norm_sig(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, _norm, sig) in ONE mapInPandas pass — the
+    chained dot-UDF + signature-UDF pair cost two Arrow round trips of
+    the embedding column per row; fused they cost one (guide §4.1:
+    control how many columns cross, and how often). Norm uses the
+    dimension-order fold (== dot_udf); the signature reproduces
+    hp_signature_udf's weight formula and fold order exactly."""
+    import numpy as np
+    import pandas as pd
+
+    emb_t = dict(emb.dtypes)["embedding"]
+    schema = f"vec_id long, embedding {emb_t}, _norm double, sig long"
+
+    def gen(batches):
+        w = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            dim = m.shape[1]
+            if w is None or w.shape[1] != dim:
+                w = np.empty((HP_BITS, dim), dtype=np.float64)
+                for b in range(HP_BITS):
+                    for i in range(dim):
+                        w[b, i] = float(
+                            (HP_A[b] * (i + 1) + HP_B[b]) % HP_MOD - HP_SHIFT
+                        )
+            nrm = _norms_np(m)
+            sig = np.zeros(len(m), dtype=np.int64)
+            for b in range(HP_BITS):
+                acc = np.zeros(len(m), dtype=np.float64)
+                for i in range(dim):  # index order == fold order
+                    acc = acc + m[:, i] * w[b, i]
+                sig |= (acc > 0).astype(np.int64) << b
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "embedding": pdf["embedding"],
+                "_norm": nrm,
+                "sig": sig,
+            })
+
+    return emb.select("vec_id", "embedding").mapInPandas(gen, schema)
+
+
 def cosine_neardup_lsh(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
     """Scale path for near-dup pairs: candidates come from the
     hyperplane-LSH band equi-join (share ≥1 of 4 signature bands), then
@@ -245,10 +291,9 @@ def cosine_neardup_lsh(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
     deterministic (fixed integer hyperplanes) so the oracle reproduces
     the SAME candidate set and the result is value-exact."""
     # norms + signatures feed bands, both vector re-joins: one
-    # materialization (row per vector) beats recomputing the UDF 3×
-    base = _with_norm(emb).withColumn(
-        "sig", hp_signature_udf()(F.col("embedding"))
-    ).localCheckpoint(eager=True)
+    # materialization (row per vector) beats recomputing the UDF 3×;
+    # fused norm+sig kernel = one Arrow pass (round 6)
+    base = _with_norm_sig(emb).localCheckpoint(eager=True)
     band_w = HP_BITS // HP_BANDS
     bands = base.select(
         "vec_id",
@@ -343,46 +388,34 @@ WHERE round({dot} / (va.nrm * vb.nrm), 9) >= {threshold}
 # ----------------------------------------------------------------------
 
 
-def _collect_matrix(emb: DataFrame, mod: int):
-    """Collect the bounded modulo-sampled rows (centroid seeds / query
-    set) as (ids ascending, float64 matrix). The only driver transfer
-    in the IVF family — O(n/mod) rows, the same bounded-collect class
-    as cosine_topk's query matrix."""
-    import numpy as np
-
-    rows = sorted(
-        emb.filter(F.col("vec_id") % mod == 0)
-        .select("vec_id", "embedding").collect(),
-        key=lambda r: r["vec_id"],
-    )
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    M = np.stack([np.asarray(r["embedding"], dtype=np.float64)
-                  for r in rows])
-    return ids, M
-
-
 def _norms_np(M):
     import numpy as np
 
     return np.sqrt(_seq_dot_matrix(M, M).diagonal())
 
 
-def _assign_map(emb: DataFrame, cent_ids, C) -> DataFrame:
-    """Map-only nearest-centroid assignment: the bounded centroid
-    matrix lives in the mapInPandas closure, so the per-vector argmax
-    runs as one NumPy matrix pass — no crossJoin that ships every
-    (vector, centroid) pair through Arrow, no per-vector row_number
-    window (guide §4.2/§2.4). Per-pair cosine, norm fold and the
-    (cosine desc, cent_id asc) tie-break are identical to the old
-    plan: _seq_dot_matrix accumulates in dimension order (== dot_udf),
-    _py_round9 == F.round(· , 9), and np.argmax returns the FIRST
-    maximum over the cent_id-ascending columns."""
+def _ivf_score_fused(emb: DataFrame, cent_ids, C, qids, Q, nprobe: int,
+                     k: int) -> DataFrame:
+    """Assignment + probe-list scoring fused into ONE map-only kernel
+    (the cosine_topk shape): per batch, vectors assign to their nearest
+    centroid and every query whose nprobe probe set contains that
+    centroid scores the vector — candidate (query, vec, cosine) rows
+    stream straight into the final per-query top-k window. Removes the
+    assigned-table materialization, the probes broadcast join and the
+    per-pair dot UDF stage. All doubles identical to the join-based
+    plan: probe sets use the same (round9-cosine desc, cent_id asc)
+    order; pair cosines use the dimension-order fold and round9."""
     import numpy as np
     import pandas as pd
 
     cn = _norms_np(C)
-    emb_t = dict(emb.dtypes)["embedding"]
-    schema = f"vec_id long, embedding {emb_t}, _norm double, cent_id long"
+    qn = _norms_np(Q)
+    qcos = _py_round9(_seq_dot_matrix(Q, C) / (qn[:, None] * cn[None, :]))
+    # per query: the nprobe probed centroid COLUMN indexes
+    probe_cols = [
+        np.lexsort((cent_ids, -qcos[qi]))[:nprobe]
+        for qi in range(len(qids))
+    ]
 
     def gen(batches):
         for pdf in batches:
@@ -391,61 +424,26 @@ def _assign_map(emb: DataFrame, cent_ids, C) -> DataFrame:
             V = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
             vn = _norms_np(V)
-            cos = _py_round9(
+            ccos = _py_round9(
                 _seq_dot_matrix(V, C) / (vn[:, None] * cn[None, :])
             )
-            # NaN cosines (zero-norm vectors) sort FIRST under Spark's
-            # descending order; np.argmax likewise returns the first
-            # NaN — tie behavior matches the old window exactly
-            best = np.argmax(cos, axis=1)
-            yield pd.DataFrame({
-                "vec_id": pdf["vec_id"].to_numpy(),
-                "embedding": pdf["embedding"],
-                "_norm": vn,
-                "cent_id": cent_ids[best],
-            })
+            best = np.argmax(ccos, axis=1)
+            pair = _py_round9(
+                _seq_dot_matrix(Q, V) / (qn[:, None] * vn[None, :])
+            )
+            rows = {"query_id": [], "vec_id": [], "cosine": []}
+            for qi in range(len(qids)):
+                sel = np.isin(best, probe_cols[qi]) & (vids != qids[qi])
+                for j in np.nonzero(sel)[0]:
+                    rows["query_id"].append(int(qids[qi]))
+                    rows["vec_id"].append(int(vids[j]))
+                    rows["cosine"].append(float(pair[qi, j]))
+            yield pd.DataFrame(rows)
 
-    return emb.select("vec_id", "embedding").mapInPandas(gen, schema)
-
-
-def _probe_rows(spark, qids, Q, cent_ids, C, nprobe: int):
-    """Driver-side probe selection: per query the nprobe nearest
-    centroids by (round9-cosine desc, cent_id asc) — the same doubles
-    and tie-break the old crossJoin + window computed. Returns the
-    broadcastable probes DataFrame (query_id, q_emb, q_norm, cent_id)."""
-    import numpy as np
-
-    qn = _norms_np(Q)
-    cn = _norms_np(C)
-    cos = _py_round9(_seq_dot_matrix(Q, C) / (qn[:, None] * cn[None, :]))
-    rows = []
-    for qi in range(len(qids)):
-        order = np.lexsort((cent_ids, -cos[qi]))[:nprobe]
-        for ci in order:
-            rows.append((
-                int(qids[qi]), [float(v) for v in Q[qi]], float(qn[qi]),
-                int(cent_ids[ci]),
-            ))
-    return spark.createDataFrame(
-        rows, "query_id long, q_emb array<double>, q_norm double, "
-              "cent_id long",
-    )
-
-
-def _ivf_score(assigned: DataFrame, probes: DataFrame, k: int) -> DataFrame:
-    d = dot_udf()
-    cand = (
-        F.broadcast(probes).join(assigned, "cent_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                d(F.col("q_emb"), F.col("embedding"))
-                / (F.col("q_norm") * F.col("_norm")),
-                9,
-            ),
-        )
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        gen, "query_id long, vec_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
     return (
@@ -469,7 +467,7 @@ def ivf_topk(
     collect ONCE to the driver; assignment is a map-only NumPy kernel
     and probe selection runs on the driver — one collect job replaces
     two eager checkpoints, two crossJoins and two windows, with
-    bit-identical arithmetic throughout (see _assign_map)."""
+    bit-identical arithmetic throughout (see _ivf_score_fused)."""
     import numpy as np
 
     rows = sorted(
@@ -484,9 +482,7 @@ def ivf_topk(
     cmask, qmask = ids % centroid_mod == 0, ids % query_mod == 0
     cent_ids, C = ids[cmask], M[cmask]
     qids, Q = ids[qmask], M[qmask]
-    assigned = _assign_map(emb, cent_ids, C)
-    probes = _probe_rows(emb.sparkSession, qids, Q, cent_ids, C, nprobe)
-    return _ivf_score(assigned, probes, k)
+    return _ivf_score_fused(emb, cent_ids, C, qids, Q, nprobe, k)
 
 
 def ivf_topk_sql(
@@ -555,51 +551,6 @@ SELECT query_id, vec_id, cosine, rank FROM (
 # ----------------------------------------------------------------------
 
 _KM_Q = 1048576.0  # 2^20 — component quantum for exact integer sums
-
-
-def _kmeans_update(assigned: DataFrame) -> DataFrame:
-    """One Lloyd update: new centroid = per-dimension mean of members,
-    computed from µ-quantized integer sums (order-independent)."""
-    expl = assigned.select(
-        "cent_id", F.posexplode("embedding").alias("pos", "v")
-    ).select(
-        "cent_id", "pos",
-        F.round(F.col("v").cast("double") * F.lit(_KM_Q)).cast("long")
-        .alias("mq"),
-    )
-    dims = expl.groupBy("cent_id", "pos").agg(
-        F.sum("mq").alias("s"), F.count("*").alias("n")
-    ).select(
-        "cent_id", "pos",
-        ((F.col("s").cast("double") / F.col("n").cast("double"))
-         / F.lit(_KM_Q)).alias("m"),
-    )
-    cents = dims.groupBy("cent_id").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("pos", "m"))),
-            lambda s: s["m"],
-        ).alias("c_emb")
-    )
-    return cents.select(
-        "cent_id", "c_emb", norm_expr(F.col("c_emb")).alias("c_norm")
-    )
-
-
-def _assign_to_cents(base: DataFrame, cents: DataFrame) -> DataFrame:
-    d = dot_udf()
-    pair_cos = F.round(
-        d(F.col("embedding"), F.col("c_emb"))
-        / (F.col("_norm") * F.col("c_norm")),
-        9,
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("_ccos"), F.col("cent_id"))
-    return (
-        base.crossJoin(F.broadcast(cents))
-        .withColumn("_ccos", pair_cos)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "embedding", "_norm", "cent_id")
-    )
 
 
 def ivf_kmeans_topk(
@@ -715,9 +666,7 @@ def ivf_kmeans_topk(
             for cid in new_ids
         ], dtype=np.float64)
 
-    assigned = _assign_map(emb, cent_ids, C)
-    probes = _probe_rows(emb.sparkSession, qids, Q, cent_ids, C, nprobe)
-    return _ivf_score(assigned, probes, k)
+    return _ivf_score_fused(emb, cent_ids, C, qids, Q, nprobe, k)
 
 
 def ivf_kmeans_topk_sql(
@@ -895,9 +844,8 @@ def ann_lsh_topk(
     """LSH-bucketed ANN top-k: candidates share ≥1 of 4 signature bands
     (equi-join on (band, value) — at 100 TB the probe never cross-joins
     the corpus). Deterministic hyperplanes → oracle-reproducible."""
-    base = _with_norm(emb).withColumn(
-        "sig", hp_signature_udf()(F.col("embedding"))
-    ).localCheckpoint(eager=True)
+    # fused norm+sig kernel: one Arrow pass instead of two (round 6)
+    base = _with_norm_sig(emb).localCheckpoint(eager=True)
     band_w = HP_BITS // HP_BANDS
     bands = base.select(
         "vec_id",

@@ -2366,7 +2366,13 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the same hottest-user bound sessionize carries), and the final
     rollup is a 3-long-column partial aggregate down to one row. No
     self-joins, no per-row Python, no giant-partition windows — at
-    10^12 events this is a hash aggregate plus a map-side total."""
+    10^12 events this is a hash aggregate plus a map-side total.
+
+    Assumes `ts IS NOT NULL` (the events fixture guarantees it —
+    TESTDATA.md): a NULL ts would sort first in Spark's struct
+    comparison but last under the oracle's ORDER BY default, so the
+    first-view pick could diverge (round-5 ADVICE; documented rather
+    than filtered because oracle SQL is frozen this round)."""
     ev = _events(spark, sf_dir).select(
         "user_id",
         "event_type",
