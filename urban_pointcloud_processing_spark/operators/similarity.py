@@ -841,60 +841,95 @@ def hp_signature_sql(emb: str) -> str:
 def ann_lsh_topk(
     emb: DataFrame, k: int = 10, query_mod: int = 50
 ) -> DataFrame:
-    """LSH-bucketed ANN top-k: candidates share ≥1 of 4 signature bands
-    (equi-join on (band, value) — at 100 TB the probe never cross-joins
-    the corpus). Deterministic hyperplanes → oracle-reproducible."""
-    # fused norm+sig kernel: one Arrow pass instead of two (round 6)
-    base = _with_norm_sig(emb).localCheckpoint(eager=True)
+    """LSH-bucketed ANN top-k: candidates share ≥1 of 4 signature
+    bands. Deterministic hyperplanes → oracle-reproducible.
+
+    Round 6 shape: the corpus was already fully scanned just to
+    compute signatures, so for the BOUNDED query set the band check
+    runs inside the same Arrow pass — per batch, each vector's bands
+    compare against the collected query signatures (a few integer ops
+    per (query, vector)), exact cosines are computed ONLY for the
+    band-colliding survivors, and candidate rows stream into the final
+    per-query top-k window. The old plan's band explode (4× rows),
+    band equi-join shuffle, pair distinct, and two embedding re-attach
+    joins all disappear; candidate set and cosines are identical (same
+    band decomposition, same dimension-order fold, same round9). Scale
+    note: work is O(corpus × n_queries) integer band compares + the
+    same colliding-pair cosines as before — still never a cross-join
+    of the corpus against itself, and now with zero shuffle before the
+    nq×k-row top-k."""
+    import numpy as np
+    import pandas as pd
+
     band_w = HP_BITS // HP_BANDS
-    bands = base.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(F.col("sig"), i * band_w)
-                        .bitwiseAND(F.lit((1 << band_w) - 1))
-                        .alias("val"),
-                    )
-                    for i in range(HP_BANDS)
-                ]
+    qrows = sorted(
+        emb.filter(F.col("vec_id") % query_mod == 0)
+        .select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in qrows])
+    qn = _norms_np(Q)
+    # query signatures via the same weight formula / fold order
+    dim = Q.shape[1]
+    w_mat = np.empty((HP_BITS, dim), dtype=np.float64)
+    for b in range(HP_BITS):
+        for i in range(dim):
+            w_mat[b, i] = float(
+                (HP_A[b] * (i + 1) + HP_B[b]) % HP_MOD - HP_SHIFT
             )
-        ).alias("bv"),
-    ).select(
-        "vec_id",
-        F.col("bv.band").alias("band"), F.col("bv.val").alias("val"),
-    )
-    queries = bands.filter(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("query_id"), "band", "val"
-    )
-    # dedup candidate PAIRS (two longs per row through the shuffle),
-    # THEN re-attach the embedding arrays — same result, a fraction of
-    # the distinct's shuffle bytes vs deduping rows carrying vectors
-    cand_ids = (
-        F.broadcast(queries)
-        .join(bands, ["band", "val"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id")
-        .distinct()
-    )
-    qvec = base.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("_norm").alias("q_norm"),
-    ).filter(F.col("query_id") % query_mod == 0)
-    cand = (
-        cand_ids.join(F.broadcast(qvec), "query_id")
-        .join(base, "vec_id")
-        .withColumn(
-            "cosine",
-            F.round(
-                dot_udf()(F.col("q_emb"), F.col("embedding"))
-                / (F.col("q_norm") * F.col("_norm")),
-                9,
-            ),
-        )
+
+    def _sigs(M):
+        sig = np.zeros(len(M), dtype=np.int64)
+        for b in range(HP_BITS):
+            acc = np.zeros(len(M), dtype=np.float64)
+            for i in range(dim):  # index order == fold order
+                acc = acc + M[:, i] * w_mat[b, i]
+            sig |= (acc > 0).astype(np.int64) << b
+        return sig
+
+    qsig = _sigs(Q)
+    mask_val = (1 << band_w) - 1
+    qbands = np.stack(
+        [(qsig >> (i * band_w)) & mask_val for i in range(HP_BANDS)]
+    )  # (HP_BANDS, nq)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            vn = _norms_np(V)
+            vsig = _sigs(V)
+            vbands = np.stack(
+                [(vsig >> (i * band_w)) & mask_val
+                 for i in range(HP_BANDS)]
+            )  # (HP_BANDS, nv)
+            rows = {"query_id": [], "vec_id": [], "cosine": []}
+            for qi in range(len(qids)):
+                match = np.zeros(len(vids), dtype=bool)
+                for i in range(HP_BANDS):
+                    match |= vbands[i] == qbands[i, qi]
+                match &= vids != qids[qi]
+                sel = np.nonzero(match)[0]
+                if sel.size == 0:
+                    continue
+                cos = _py_round9(
+                    _seq_dot_matrix(Q[qi:qi + 1], V[sel])[0]
+                    / (qn[qi] * vn[sel])
+                )
+                rows["query_id"].extend([int(qids[qi])] * sel.size)
+                rows["vec_id"].extend(int(v) for v in vids[sel])
+                rows["cosine"].extend(float(c) for c in cos)
+            if rows["query_id"]:
+                yield pd.DataFrame(rows)
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        gen, "query_id long, vec_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
     return (
