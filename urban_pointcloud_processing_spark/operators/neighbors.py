@@ -79,6 +79,7 @@ def knn_candidates_shuffle(
     cell_res: float | None = None,
     salt_target: int | None = None,
     join_hint: str | None = None,
+    keep_keys: bool = False,
 ) -> DataFrame:
     """Shuffle-join twin of ``knn_candidates`` for BUILD SIDES THAT
     SCALE WITH THE DATA (e.g. labeled pages feeding label propagation):
@@ -156,12 +157,18 @@ def knn_candidates_shuffle(
         keys = ["_cell", "_salt"]
     if join_hint:
         build_idx = build_idx.hint(join_hint)
-    return (
+    out = (
         probe_keyed.join(build_idx, keys)
         .withColumn("dist_sq", d2)
         .filter(F.col("dist_sq") <= F.lit(max_dist * max_dist))
-        .drop(*keys, "_bx", "_by")
     )
+    # keep_keys: a probe row has exactly one (cell[, salt]), so a
+    # downstream per-probe aggregation can group by (keys..., probe_id)
+    # — identical groups, and when the join ran as a shuffle join its
+    # cell hash-partitioning already satisfies that clustering, so the
+    # aggregation adds NO exchange (guide §2.4: share one exchange)
+    drop = ["_bx", "_by"] if keep_keys else [*keys, "_bx", "_by"]
+    return out.drop(*drop)
 
 
 def knn_label_fusion(
@@ -183,8 +190,9 @@ def knn_label_fusion(
     path (identical results; see knn_candidates_shuffle)."""
     cand = knn_candidates_shuffle(
         probe, labeled, max_dist, probe_id, build_id, (label_col,),
-        salt_target=salt_target,
+        salt_target=salt_target, keep_keys=True,
     )
+    join_keys = ["_cell", "_salt"] if salt_target else ["_cell"]
     # Round 6: ONE probe-keyed aggregation replaces the chain
     # row_number window → (probe,label) regroup → second window — three
     # exchanges down to one (guide §2.4). The sorted slice reproduces
@@ -192,14 +200,19 @@ def knn_label_fusion(
     # the majority vote with ties to the SMALLER label is computed over
     # the ≤k-element array in the projection: array_max over
     # (n_votes, -label) pairs == (n_votes DESC, label ASC) row_number=1.
-    topk = cand.groupBy(probe_id).agg(
+    # group by (join keys..., probe_id): a probe determines its cell
+    # and salt, so groups are IDENTICAL to groupBy(probe_id) — but the
+    # shuffle-join's cell partitioning already satisfies the clustering
+    # and the 10^2-candidates-per-probe pair table is aggregated
+    # in place instead of re-shuffled (guide §2.4)
+    topk = cand.groupBy(*join_keys, probe_id).agg(
         F.slice(
             F.sort_array(
                 F.collect_list(F.struct("dist_sq", build_id, label_col))
             ),
             1, k,
         ).alias("_nb"),
-    )
+    ).drop(*join_keys)
     labels = F.transform("_nb", lambda s: s[label_col])
     scored = topk.select(
         probe_id,
