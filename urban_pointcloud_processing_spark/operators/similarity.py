@@ -297,6 +297,7 @@ def cosine_neardup_lsh(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
     band_w = HP_BITS // HP_BANDS
     bands = base.select(
         "vec_id",
+        "sig",
         F.explode(
             F.array(
                 *[
@@ -310,17 +311,34 @@ def cosine_neardup_lsh(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
                 ]
             )
         ).alias("bv"),
-    ).select("vec_id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    ).select(
+        "vec_id", "sig",
+        F.col("bv.band").alias("band"), F.col("bv.val").alias("val"),
+    )
     a, b = bands.alias("a"), bands.alias("b")
-    # candidate ids only (8-byte rows through the shuffle); embeddings
-    # re-attach after the distinct
+    # a pair colliding on several bands would be emitted once per band;
+    # keep it only at its FIRST matching band (computable from the two
+    # signatures) instead of a distinct over the duplicated pairs —
+    # same dedup, one exchange fewer (the simhash_neardup idiom).
+    # Carrying sig costs 8 bytes per band row.
+    def _band_val(col, i):
+        return F.shiftright(col, i * band_w).bitwiseAND(
+            F.lit((1 << band_w) - 1)
+        )
+
+    first_eq = F.lit(HP_BANDS)
+    for i in reversed(range(HP_BANDS)):
+        first_eq = F.when(
+            _band_val(F.col("a.sig"), i) == _band_val(F.col("b.sig"), i),
+            F.lit(i),
+        ).otherwise(first_eq)
     cand = (
         a.join(b, ["band", "val"])
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(first_eq == F.col("band"))
         .select(
             F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
         )
-        .distinct()
     )
     va = base.select(
         F.col("vec_id").alias("vec_a"),
