@@ -301,28 +301,36 @@ def _band_key_expr(band: int):
 
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """Distinct (doc_a < doc_b) pairs sharing ≥1 LSH band bucket."""
+    """Distinct (doc_a < doc_b) pairs sharing ≥1 LSH band bucket.
+
+    Round 6: a pair sharing several band buckets was emitted once per
+    band and deduplicated with a distinct over the pair table (a full
+    exchange). Each band row now carries the row's full band-key array
+    (LSH_BANDS longs), and a pair is kept only at its FIRST matching
+    band — the same dedup, computed in the join filter, no distinct
+    (the simhash_neardup first-equal-block idiom)."""
+    keys_arr = F.array(*[_band_key_expr(b) for b in range(LSH_BANDS)])
     bands = sig.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), _band_key_expr(b).alias("key")
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        keys_arr.alias("_ks"),
+        F.posexplode(keys_arr).alias("band", "key"),
+    )
     a, b = bands.alias("a"), bands.alias("b")
+    first_eq = F.lit(LSH_BANDS)
+    for i in reversed(range(LSH_BANDS)):
+        first_eq = F.when(
+            F.element_at(F.col("a._ks"), i + 1)
+            == F.element_at(F.col("b._ks"), i + 1),
+            F.lit(i),
+        ).otherwise(first_eq)
     return (
         a.join(b, ["band", "key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(first_eq == F.col("band"))
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
         )
-        .distinct()
     )
 
 
