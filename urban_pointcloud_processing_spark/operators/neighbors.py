@@ -285,25 +285,31 @@ def knn_idw(
     cand = knn_candidates(
         probe, build, max_dist, probe_id, build_id, (value_col,)
     )
-    # d^p with integer p as exact multiplication chain (no pow/libm)
-    d2 = F.col("dist_sq")
-    if power == 2:
-        dp = d2
-    elif power == 1:
-        dp = F.sqrt(d2)
-    else:
-        dp = F.pow(F.sqrt(d2), F.lit(float(power)))
-    pairs = cand.withColumn("_w", F.lit(1.0) / (dp + F.lit(reg)))
+
+    # d^p with integer p as exact multiplication chain (no pow/libm);
+    # the weight 1/(d^p + reg) is recomputed from dist_sq inside the
+    # fold — the same deterministic double as a precomputed column,
+    # and the collected struct stays 8 bytes/row narrower (guide §2.3
+    # "narrower types / shuffle fewer bytes")
+    def _w_of(d2):
+        if power == 2:
+            dp = d2
+        elif power == 1:
+            dp = F.sqrt(d2)
+        else:
+            dp = F.pow(F.sqrt(d2), F.lit(float(power)))
+        return F.lit(1.0) / (dp + F.lit(reg))
+
     # Round 6: ONE aggregation replaces the row_number window + regroup:
     # sort_array over the collected candidates then slice(1, k) selects
     # exactly the rows rn<=k used to keep — the struct leads with
     # (dist_sq, build_id), the same ordering key, and the fold below
     # consumes the identical sorted prefix, so the float accumulation
     # order is unchanged (bit-exact). n_neighbors = the slice length.
-    grouped = pairs.groupBy(probe_id).agg(
+    grouped = cand.groupBy(probe_id).agg(
         F.slice(
             F.sort_array(
-                F.collect_list(F.struct("dist_sq", build_id, "_w", value_col))
+                F.collect_list(F.struct("dist_sq", build_id, value_col))
             ),
             1, k,
         ).alias("_nb"),
@@ -312,8 +318,13 @@ def knn_idw(
         probe_id,
         F.size("_nb").cast("long").alias("n_neighbors"),
         (
-            F.aggregate("_nb", F.lit(0.0), lambda a, s: a + s["_w"] * s[value_col])
-            / F.aggregate("_nb", F.lit(0.0), lambda a, s: a + s["_w"])
+            F.aggregate(
+                "_nb", F.lit(0.0),
+                lambda a, s: a + _w_of(s["dist_sq"]) * s[value_col],
+            )
+            / F.aggregate(
+                "_nb", F.lit(0.0), lambda a, s: a + _w_of(s["dist_sq"])
+            )
         ).alias("idw"),
     )
 

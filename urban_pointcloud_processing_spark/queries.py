@@ -3710,18 +3710,26 @@ def q_raster_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replaced by decoding (cell_x, cell_y) from the pairing key
     # cell_id = cell_x * 100000 + cell_y (coords are non-negative and
     # cell_y < 100000 in the RD window, so div/mod decode is exact).
-    pairs = cand.withColumn("_w", F.lit(1.0) / (F.col("dist_sq") + F.lit(1e-9)))
-    grouped = pairs.groupBy("cell_id").agg(
+    # the IDW weight recomputes from dist_sq inside the fold — same
+    # deterministic double, 8 bytes/row narrower collect buffers
+    grouped = cand.groupBy("cell_id").agg(
         F.slice(
             F.sort_array(
-                F.collect_list(F.struct("dist_sq", "obj_id", "_w", "z"))
+                F.collect_list(F.struct("dist_sq", "obj_id", "z"))
             ),
             1, 8,
         ).alias("_nb"),
     )
+    reg9 = F.lit(1e-9)
     idw = (
-        F.aggregate("_nb", F.lit(0.0), lambda a, s: a + s["_w"] * s["z"])
-        / F.aggregate("_nb", F.lit(0.0), lambda a, s: a + s["_w"])
+        F.aggregate(
+            "_nb", F.lit(0.0),
+            lambda a, s: a + (F.lit(1.0) / (s["dist_sq"] + reg9)) * s["z"],
+        )
+        / F.aggregate(
+            "_nb", F.lit(0.0),
+            lambda a, s: a + F.lit(1.0) / (s["dist_sq"] + reg9),
+        )
     )
     # no 2-dp rounding here: engines disagree on half-way rounding and
     # the reference's f16 quantization is a storage detail — the
